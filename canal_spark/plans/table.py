@@ -1,0 +1,277 @@
+"""Iceberg-semantics snapshot table over Parquet (SURVEY.md §7.2 Plan A).
+
+No `iceberg-spark-runtime` jar exists in this environment (verified,
+SURVEY.md §0.4), so the table layer reimplements the *properties* the
+north rule exercises, from scratch, over plain Parquet + JSON manifests:
+
+- **snapshot isolation / time travel**: every commit epoch `e` writes an
+  immutable `meta/snapshot-<e>.json` listing the exact data files of the
+  table state after epoch `e`; readers resolve one snapshot and never see
+  partial writes.
+- **atomic, idempotent commits**: manifest written via temp-file +
+  `os.rename` (atomic on POSIX). Re-committing an epoch whose snapshot
+  already exists is a no-op — the exactly-once heart (canal analog:
+  ack/cursor protocol [C: meta/.../FileMixedMetaManager.java ::
+  #updateCursor; server/.../CanalServerWithEmbedded.java :: #ack]).
+- **per-partition offset checkpoints + lineage IN the commit**: the
+  snapshot carries `checkpoints{source_partition -> committed_lsn}` and
+  per-epoch lineage metrics, so data + cursor commit atomically —
+  canal's meta.dat cursor, made transactional with the data.
+- **schema evolution via field ids**: add / rename / widen recorded as
+  versioned schemas; data files carry the schema version they were
+  written under and are normalized (select/alias/cast by field id) at
+  read time — canal's tsdb "schema as of position"
+  [C: parse/.../tsdb/DatabaseTableMeta.java] re-expressed as
+  Iceberg-style schema versioning.
+- **bucketed copy-on-write layout**: rows are hash-bucketed by key
+  (`pmod(xxhash64(doc_id), n_buckets)`); an epoch rewrites ONLY the
+  buckets containing changed keys and carries every other bucket's files
+  forward by reference. At 100 TB this is the difference between
+  rewriting the table per epoch and rewriting a bounded slice of it.
+
+Crash model: data files for epoch e are written BEFORE the snapshot
+rename; a crash in between leaves orphan data files that no snapshot
+references (invisible; re-run of the epoch overwrites them
+deterministically). Recovery never needs a pointer file: the current
+snapshot is simply the max epoch present in meta/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SNAP_RE = re.compile(r"snapshot-(\d{8})\.json$")
+
+#: the input_hint data schema (BASELINE.json:15), with Iceberg-style field ids
+DEFAULT_SCHEMA = [
+    {"id": 1, "name": "doc_id", "type": "string"},
+    {"id": 2, "name": "tokens", "type": "array<int>"},
+    {"id": 3, "name": "n_tok", "type": "int"},
+    {"id": 4, "name": "source", "type": "string"},
+]
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Engine-internal key→bucket routing (canal's pk-hash partition
+    routing [C: connector/core/.../MQMessageUtils.java :: #messagePartition])."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "meta")
+        self.data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------ init
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        n_buckets: int = 32,
+        schema: list[dict] | None = None,
+        key_col: str = "doc_id",
+    ) -> "SnapshotTable":
+        t = cls(root)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        if t.current_epoch() is None:
+            schema = schema or DEFAULT_SCHEMA
+            t._write_snapshot(
+                {
+                    "epoch": 0,
+                    "parent": None,
+                    "n_buckets": n_buckets,
+                    "key_col": key_col,
+                    "schema_ver": 1,
+                    "schemas": {"1": schema},
+                    "files": {},
+                    "checkpoints": {},
+                    "lineage": [],
+                }
+            )
+        return t
+
+    # ------------------------------------------------------- snapshots
+    def _snap_path(self, epoch: int) -> str:
+        return os.path.join(self.meta_dir, f"snapshot-{epoch:08d}.json")
+
+    def _write_snapshot(self, snap: dict) -> None:
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._snap_path(snap["epoch"]))
+
+    def current_epoch(self) -> int | None:
+        if not os.path.isdir(self.meta_dir):
+            return None
+        epochs = [
+            int(m.group(1)) for fn in os.listdir(self.meta_dir) if (m := _SNAP_RE.match(fn))
+        ]
+        return max(epochs) if epochs else None
+
+    def snapshot(self, epoch: int | None = None) -> dict:
+        epoch = self.current_epoch() if epoch is None else epoch
+        if epoch is None:
+            raise FileNotFoundError(f"no snapshots under {self.meta_dir}")
+        with open(self._snap_path(epoch)) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------ read
+    def read(
+        self,
+        spark: SparkSession,
+        epoch: int | None = None,
+        buckets: list[int] | None = None,
+        with_bucket: bool = True,
+    ) -> DataFrame:
+        """Table state as of a snapshot (time travel via `epoch`),
+        optionally pruned to a bucket subset (file-level pruning — the
+        files of other buckets are never opened)."""
+        snap = self.snapshot(epoch)
+        current = snap["schemas"][str(snap["schema_ver"])]
+        groups: dict[int, list[str]] = {}
+        for b, files in snap["files"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            for fentry in files:
+                groups.setdefault(fentry["schema_ver"], []).append(
+                    os.path.join(self.root, fentry["path"])
+                )
+        parts = []
+        for ver, paths in groups.items():
+            df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+            parts.append(self._normalize(df, snap, ver, with_bucket))
+        if not parts:
+            return self._empty(spark, current, with_bucket)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _normalize(self, df: DataFrame, snap: dict, file_ver: int, with_bucket: bool) -> DataFrame:
+        """Map a file's physical schema (version it was written under) to
+        the table's current schema by FIELD ID: rename + widen are just
+        alias/cast; added columns materialize as typed NULLs."""
+        current = snap["schemas"][str(snap["schema_ver"])]
+        old = {f["id"]: f for f in snap["schemas"][str(file_ver)]}
+        cols = []
+        for fld in current:
+            o = old.get(fld["id"])
+            if o is None:
+                cols.append(F.lit(None).cast(fld["type"]).alias(fld["name"]))
+            else:
+                cols.append(F.col(o["name"]).cast(fld["type"]).alias(fld["name"]))
+        if with_bucket:
+            cols.append(F.col("bucket").cast("int").alias("bucket"))
+        return df.select(*cols)
+
+    def _empty(self, spark: SparkSession, schema_fields: list[dict], with_bucket: bool) -> DataFrame:
+        ddl = ", ".join(f"{f['name']} {f['type']}" for f in schema_fields)
+        if with_bucket:
+            ddl += ", bucket int"
+        return spark.createDataFrame([], ddl)
+
+    # ---------------------------------------------------------- commit
+    def commit(
+        self,
+        epoch: int,
+        rewritten: dict[int, list[str]],
+        checkpoints: dict[int, int],
+        lineage: list[dict],
+        schema_update: dict | None = None,
+    ) -> bool:
+        """Atomically publish epoch `e`: carry forward untouched buckets,
+        replace rewritten ones, merge checkpoints, append lineage.
+
+        Returns False (no-op) if the snapshot already exists — idempotent
+        re-apply. Enforces strictly sequential epochs (canal's sequential
+        ack [C: meta/.../MemoryClientIdentityBatch :: #removeBatch])."""
+        if os.path.exists(self._snap_path(epoch)):
+            return False
+        cur = self.current_epoch()
+        if cur != epoch - 1:
+            raise ValueError(f"non-sequential commit: current={cur}, committing={epoch}")
+        snap = self.snapshot(cur)
+        files = {b: list(v) for b, v in snap["files"].items()}
+        new_ver = snap["schema_ver"]
+        schemas = dict(snap["schemas"])
+        if schema_update:
+            new_ver = schema_update["ver"]
+            schemas[str(new_ver)] = schema_update["fields"]
+        for b, paths in rewritten.items():
+            files[str(b)] = [
+                {"path": os.path.relpath(p, self.root), "schema_ver": new_ver} for p in paths
+            ]
+            if not files[str(b)]:
+                del files[str(b)]
+        ckpts = dict(snap["checkpoints"])
+        for p, lsn in checkpoints.items():
+            ckpts[str(p)] = max(int(lsn), int(ckpts.get(str(p), -1)))
+        self._write_snapshot(
+            {
+                "epoch": epoch,
+                "parent": cur,
+                "n_buckets": snap["n_buckets"],
+                "key_col": snap["key_col"],
+                "schema_ver": new_ver,
+                "schemas": schemas,
+                "files": files,
+                "checkpoints": ckpts,
+                "lineage": lineage,
+            }
+        )
+        return True
+
+    # ------------------------------------------------------- utilities
+    def checkpoints(self) -> dict[int, int]:
+        return {int(k): int(v) for k, v in self.snapshot()["checkpoints"].items()}
+
+    def epoch_data_dir(self, epoch: int) -> str:
+        return os.path.join(self.data_dir, f"epoch={epoch}")
+
+    def list_epoch_files(self, epoch: int) -> dict[int, list[str]]:
+        """Enumerate bucket=<k>/ parquet files written for an epoch."""
+        out: dict[int, list[str]] = {}
+        root = self.epoch_data_dir(epoch)
+        if not os.path.isdir(root):
+            return out
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("bucket="):
+                continue
+            b = int(d.split("=", 1)[1])
+            out[b] = sorted(
+                os.path.join(root, d, fn)
+                for fn in os.listdir(os.path.join(root, d))
+                if fn.endswith(".parquet")
+            )
+        return out
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """All committed epochs' lineage as a DataFrame (A4 metrics)."""
+        rows = []
+        cur = self.current_epoch() or 0
+        for e in range(1, cur + 1):
+            if os.path.exists(self._snap_path(e)):
+                rows.extend(self.snapshot(e)["lineage"])
+        ddl = (
+            "epoch int, source_partition int, n_events long, n_upserts long, "
+            "n_deletes long, sum_n_tok long, min_lsn long, max_lsn long, "
+            "max_ts timestamp, wall_ms long"
+        )
+        import datetime
+
+        for r in rows:
+            if isinstance(r.get("max_ts"), (int, float)):
+                r["max_ts"] = datetime.datetime.fromtimestamp(
+                    r["max_ts"] / 1e6, tz=datetime.timezone.utc
+                ).replace(tzinfo=None)
+        return spark.createDataFrame(rows, ddl) if rows else spark.createDataFrame([], ddl)

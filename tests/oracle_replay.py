@@ -1,0 +1,41 @@
+"""Independent sequential replay oracle (SURVEY.md §5.2 item 1).
+
+The reference tree is empty (SURVEY.md §0.1), so the "reference final
+state" is DEFINED by this trivially-inspectable sequential replayer:
+apply committed change events one at a time in global deterministic
+order (lsn, source_partition) ascending over a dict — last writer wins,
+DELETE removes. ~40 lines of pure pandas, no Spark, no shared code with
+the engine.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+
+def replay(changelog_dir: str) -> pd.DataFrame:
+    """Final table state after full replay: (doc_id, tokens, n_tok, source),
+    sorted by doc_id."""
+    df = pq.read_table(changelog_dir).to_pandas()
+
+    # only complete (committed) transactions are ever applied
+    committed = set(df.loc[df.tx_commit, "tx_id"])
+    df = df[df.tx_id.isin(committed)]
+    df = df[df.op.isin(["INSERT", "UPDATE", "DELETE"])]
+
+    # global deterministic order; last writer wins
+    df = df.sort_values(["lsn", "source_partition"], kind="stable")
+
+    state: dict[str, tuple] = {}
+    for row in df.itertuples(index=False):
+        if row.op == "DELETE":
+            state.pop(row.doc_id, None)
+        else:
+            state[row.doc_id] = (list(row.tokens), int(row.n_tok), row.source)
+
+    out = pd.DataFrame(
+        [(k, v[0], v[1], v[2]) for k, v in state.items()],
+        columns=["doc_id", "tokens", "n_tok", "source"],
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,70 @@
+"""Schema evolution (M5): add / rename / widen as metadata-only commits
+(Iceberg-style field ids), interleaved with DML epochs; old data files
+are normalized at read time — canal tsdb semantics (SURVEY.md §1.3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from canal_spark.engine import CdcEngine
+from canal_spark.plans.table import SnapshotTable
+
+
+def _engine(spark, changelog_dir, tmp_path, budget=1200):
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    return table, CdcEngine(spark, changelog_dir, table, lsn_budget=budget)
+
+
+def test_ddl_interleaved_with_dml(spark, changelog_dir, oracle_state, tmp_path):
+    table, eng = _engine(spark, changelog_dir, tmp_path)
+    eng.run_epoch()
+    eng.apply_schema_update("ADD_COLUMN", {"name": "lang", "type": "string"})
+    eng.run_epoch()
+    eng.apply_schema_update("RENAME_COLUMN", {"from": "source", "to": "origin"})
+    eng.run_epoch()
+    eng.apply_schema_update("WIDEN_TYPE", {"name": "n_tok", "to": "bigint"})
+    eng.run_to_completion()
+
+    df = table.read(spark, with_bucket=False)
+    assert df.columns == ["doc_id", "tokens", "n_tok", "origin", "lang"]
+    assert dict(df.dtypes)["n_tok"] == "bigint"
+
+    got = df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = oracle_state.sort_values("doc_id").reset_index(drop=True)
+    # data parity under the evolved schema: origin IS the old source
+    assert list(got.doc_id) == list(exp.doc_id)
+    assert list(got.origin) == list(exp.source)
+    assert list(got.n_tok) == list(exp.n_tok)
+    for g, e in zip(got.tokens, exp.tokens):
+        assert list(g) == list(e)
+    # added column backfills as NULL for pre-DDL rows
+    assert got.lang.isna().all()
+
+
+def test_ddl_is_own_epoch_and_metadata_only(spark, changelog_dir, tmp_path):
+    table, eng = _engine(spark, changelog_dir, tmp_path)
+    eng.run_epoch()
+    before = table.snapshot()
+    e = eng.apply_schema_update("ADD_COLUMN", {"name": "lang", "type": "string"})
+    after = table.snapshot()
+    assert after["epoch"] == e == before["epoch"] + 1
+    assert after["files"] == before["files"]  # no data rewrite
+    assert after["schema_ver"] == before["schema_ver"] + 1
+
+
+def test_illegal_narrowing_rejected(spark, changelog_dir, tmp_path):
+    table, eng = _engine(spark, changelog_dir, tmp_path)
+    eng.run_epoch()
+    eng.apply_schema_update("WIDEN_TYPE", {"name": "n_tok", "to": "bigint"})
+    with pytest.raises(ValueError, match="illegal type change"):
+        eng.apply_schema_update("WIDEN_TYPE", {"name": "n_tok", "to": "int"})
+
+
+def test_time_travel_reads_old_snapshot(spark, changelog_dir, tmp_path):
+    table, eng = _engine(spark, changelog_dir, tmp_path)
+    eng.run_epoch()
+    n1 = table.read(spark).count()
+    e1 = table.current_epoch()
+    eng.run_to_completion()
+    assert table.current_epoch() > e1
+    assert table.read(spark, epoch=e1).count() == n1
