@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      -> flagship CDC collapse on sf0.001
+queries()    -> every implemented operator from SURVEY.md §2 plus the
+                training-data ops (dedup / similarity / text analysis)
+oracle_sql() -> matching ANSI SQL for DuckDB (omitted only for ops
+                that are genuinely not SQL-expressible: hash-family
+                LSH dedup/ANN, the exactly-once protocol, the
+                multimodal binary stub, HLL sketches)
 """
 
 from __future__ import annotations
@@ -13,26 +15,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from canal_spark.queries import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC last-writer-wins collapse with tombstones over the
+    sf0.001 events-as-changelog, enriched against the customer dim —
+    the final-state upsert semantics of the engine's MERGE kernel."""
+    from pyspark.sql import functions as F
+
+    from canal_spark.queries import merge_upsert_final_state
+    from canal_spark.sources.cdc_mapping import load
+
+    sf = "/root/testdata/sf0.001"
+    state = merge_upsert_final_state(spark, sf)
+    cust = load(spark, sf, "customer")
+    return state.join(
+        F.broadcast(cust), state.key == cust.c_custkey, "left"
+    ).select("key", "last_lsn", "last_value", "c_name", "c_mktsegment")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,83 @@
+"""Text-analysis column builders for large-scale training-data pipelines.
+
+All pure `pyspark.sql.functions` expressions (JVM-side, whole-stage
+codegen) — no Python in the hot path. Each builder returns a Column so
+it composes into any select/filter; the driver-facing queries in
+`__spark_entry__.py` wire them over the `documents` table with DuckDB
+oracle equivalents.
+
+Portability constraints honored here (FIXTURES.md §C): regex character
+classes restricted to the Java∩RE2 common subset, md5 for
+fingerprints (identical hex in Spark and DuckDB), splits on literal
+single spaces (no engine-specific whitespace classes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: word-boundary-ish tokenizer pattern, valid in both Java regex and RE2
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def token_count_whitespace(text: str | Column = "text") -> Column:
+    """Whitespace token count (single-space split — portable)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(c, " ")).cast("int")
+
+
+def token_count_bpe_ish(text: str | Column = "text") -> Column:
+    """BPE-ish regex token count: letter runs / digit runs / punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("int")
+
+
+def stopword_hits(text: str | Column = "text", words: tuple[str, ...] = STOPWORDS) -> Column:
+    """Number of whitespace tokens that are stopwords."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("int")
+
+
+def quality_score(text: str | Column = "text") -> Column:
+    """Document quality heuristic: length band + stopword ratio -
+    punctuation density. Deterministic double arithmetic (same operand
+    order in Spark and the SQL oracle)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c).cast("double")
+    n_words = token_count_whitespace(c).cast("double")
+    stop_ratio = stopword_hits(c).cast("double") / n_words
+    punct = (
+        F.length(c) - F.length(F.regexp_replace(c, "[.,!?;:]", ""))
+    ).cast("double")
+    return (
+        F.least(n_chars / F.lit(500.0), F.lit(1.0))
+        + stop_ratio
+        - punct / n_chars
+    ).alias("quality")
+
+
+def lang_id_heuristic(text: str | Column = "text") -> Column:
+    """N-gram-free stopword-marker language ID (deterministic CASE
+    ladder; the marker sets are the operator — synthetic corpus makes
+    the labels arbitrary, the plumbing is what's exercised)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.when(F.instr(c, " the ") > 0, "en")
+        .when(F.instr(c, " el ") > 0, "es")
+        .when(F.instr(c, " le ") > 0, "fr")
+        .when(F.instr(c, " der ") > 0, "de")
+        .otherwise("und")
+    )
+
+
+def fingerprint(text: str | Column = "text", salt: str | Column | None = None) -> Column:
+    """Stable document fingerprint: md5 (identical hex in Spark/DuckDB)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if salt is not None:
+        s = F.col(salt) if isinstance(salt, str) else salt
+        c = F.concat_ws(":", s, c)
+    return F.md5(c)

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — the dot product is a sequential
+left-fold over the zipped arrays (`zip_with` + `aggregate`), fully
+JVM-side. Scale path: LSH (random hyperplanes) bucketing so the join
+key is the signature, not an n^2 cross join; and an IVF-style variant
+that routes queries to the nearest coarse centroid's bucket.
+
+Canal has no analog (⊘ in SURVEY.md §2) — engine-beyond-reference
+operators for training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity of two array columns (double, deterministic
+    left-to-right accumulation order)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast the (small) query set
+    against the full vector table — a broadcast nested-loop by design;
+    cost is |queries| x |vectors| with no shuffle of the big side.
+
+    Rank ties broken by (rounded sim DESC, neighbor id ASC) for a fully
+    deterministic, engine-portable result.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), round_digits).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def lsh_hyperplane_signatures(
+    vectors: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) random-hyperplane LSH: bit i = sign(<v, r_i>).
+    Hyperplanes are a deterministic seeded constant broadcast into the
+    plan as literals — identical on every executor."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = None
+    v = F.col(vec_col).cast("array<double>")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(_dot(v, plane) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    return vectors.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_bucketed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only within the query's LSH bucket.
+    The join key is the bucket — at 100 TB this shuffles each side once
+    on a low-cardinality key instead of broadcasting everything."""
+    sig_v = lsh_hyperplane_signatures(vectors, n_planes, dim, id_col=id_col, vec_col=vec_col)
+    sig_q = lsh_hyperplane_signatures(queries, n_planes, dim, id_col=id_col, vec_col=vec_col)
+    q = sig_q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        "bucket",
+    )
+    v = sig_v.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+        "bucket",
+    )
+    scored = (
+        q.join(v, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 3).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def neardup_pairs_by_cosine(
+    vectors: DataFrame,
+    threshold: float,
+    max_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold within an
+    id-bounded slice (the oracle-checkable form; the scale path is
+    lsh_bucketed_topk)."""
+    base = vectors
+    if max_id is not None:
+        base = base.filter(F.col(id_col) < max_id)
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 3).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

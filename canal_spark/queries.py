@@ -1,0 +1,683 @@
+"""Driver-contract query catalog: every SURVEY.md §2 operator as a
+(spark_fn, oracle_sql) pair over the /root/testdata tables.
+
+Each entry exercises a real engine kernel (filters / lww / merge /
+dedup / similarity / text) against the driver's DuckDB oracle at
+sf0.01. Portability rules (FIXTURES.md §C): explicit casts on every
+aggregate (DuckDB SUM(int) is HUGEINT, ROW_NUMBER is BIGINT), no Spark
+`hash()`, no double aggregation without exact-decimal intermediates,
+md5 for fingerprints, deterministic tie-breaks everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from canal_spark.functions import text as TX
+from canal_spark.functions.tokens import char_len_udf
+from canal_spark.operators import dedup as DD
+from canal_spark.operators import similarity as SIM
+from canal_spark.operators.lww import lww_collapse
+from canal_spark.sources.cdc_mapping import (
+    N_SOURCE_PARTITIONS,
+    OP_SQL_CASE,
+    events_as_changelog,
+    load,
+)
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+# The events->changelog op mapping as a SQL CTE fragment, shared by oracles
+MAPPED = f"""
+mapped AS (
+  SELECT event_id AS lsn, user_id AS key,
+         user_id % {N_SOURCE_PARTITIONS} AS source_partition,
+         ts, value, props, {OP_SQL_CASE} AS op
+  FROM events
+)"""
+
+CKPT = """
+ckpt AS (
+  SELECT CAST(p AS BIGINT) AS source_partition,
+         CAST(1000 + 800 * p AS BIGINT) AS committed_lsn
+  FROM range(8) t(p)
+)"""
+
+
+def _ckpt_df(spark: SparkSession) -> DataFrame:
+    return spark.range(8).select(
+        F.col("id").alias("source_partition"),
+        (F.lit(1000) + F.lit(800) * F.col("id")).alias("committed_lsn"),
+    )
+
+
+# ======================================================================
+# 2.1 scans / sources
+# ======================================================================
+@q(
+    "scan_changelog",
+    "SELECT event_id AS lsn, user_id AS key, event_type, ts, value FROM events",
+)
+def scan_changelog(spark, sf):
+    return load(spark, sf, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("user_id").alias("key"),
+        "event_type",
+        "ts",
+        "value",
+    )
+
+
+@q(
+    "scan_lsn_range",
+    "SELECT event_id AS lsn, user_id AS key, event_type FROM events "
+    "WHERE event_id > 2000 AND event_id <= 7000",
+)
+def scan_lsn_range(spark, sf):
+    return (
+        load(spark, sf, "events")
+        .filter((F.col("event_id") > 2000) & (F.col("event_id") <= 7000))
+        .select(F.col("event_id").alias("lsn"), F.col("user_id").alias("key"), "event_type")
+    )
+
+
+@q(
+    "json_extract_props",
+    "SELECT event_id AS lsn, json_extract_string(props, '$.k') AS k_val FROM events",
+)
+def json_extract_props(spark, sf):
+    return load(spark, sf, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.get_json_object("props", "$.k").alias("k_val"),
+    )
+
+
+@q(
+    "resume_after_checkpoint",
+    f"WITH {MAPPED.strip()}, {CKPT.strip()} "
+    "SELECT m.lsn, m.key, m.op FROM mapped m JOIN ckpt c USING (source_partition) "
+    "WHERE m.lsn > c.committed_lsn",
+)
+def resume_after_checkpoint(spark, sf):
+    ch = events_as_changelog(spark, sf)
+    ck = _ckpt_df(spark)
+    return (
+        ch.join(F.broadcast(ck), "source_partition")
+        .filter(F.col("lsn") > F.col("committed_lsn"))
+        .select("lsn", "key", "op")
+    )
+
+
+@q(
+    "late_event_dropped",
+    f"WITH {MAPPED.strip()}, {CKPT.strip()} "
+    "SELECT c.source_partition, CAST(COUNT(*) AS BIGINT) AS n_dropped "
+    "FROM mapped m JOIN ckpt c USING (source_partition) "
+    "WHERE m.lsn <= c.committed_lsn GROUP BY c.source_partition",
+)
+def late_event_dropped(spark, sf):
+    ch = events_as_changelog(spark, sf)
+    ck = _ckpt_df(spark)
+    return (
+        ch.join(F.broadcast(ck), "source_partition")
+        .filter(F.col("lsn") <= F.col("committed_lsn"))
+        .groupBy("source_partition")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+
+
+@q("initial_snapshot_rowcount", "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer")
+def initial_snapshot_rowcount(spark, sf):
+    return load(spark, sf, "customer").agg(F.count("*").alias("n_rows"))
+
+
+# ======================================================================
+# 2.2 filters / projections
+# ======================================================================
+@q(
+    "filter_op_types",
+    f"WITH {MAPPED.strip()} SELECT lsn, key, op FROM mapped "
+    "WHERE op IN ('INSERT','UPDATE','DELETE')",
+)
+def filter_op_types(spark, sf):
+    from canal_spark.operators.filters import op_filter
+
+    return op_filter(events_as_changelog(spark, sf)).select("lsn", "key", "op")
+
+
+@q(
+    "filter_heartbeats",
+    f"WITH {MAPPED.strip()} SELECT lsn, key, op FROM mapped WHERE op <> 'HEARTBEAT'",
+)
+def filter_heartbeats(spark, sf):
+    from canal_spark.operators.filters import drop_heartbeats
+
+    return drop_heartbeats(events_as_changelog(spark, sf)).select("lsn", "key", "op")
+
+
+@q(
+    "filter_regex_whitelist",
+    "SELECT doc_id, source FROM documents WHERE regexp_matches(source, '^src[0-3]$')",
+)
+def filter_regex_whitelist(spark, sf):
+    from canal_spark.operators.filters import whitelist
+
+    return whitelist(load(spark, sf, "documents"), "^src[0-3]$").select("doc_id", "source")
+
+
+@q(
+    "filter_regex_blacklist",
+    "SELECT doc_id, source FROM documents WHERE NOT regexp_matches(source, '^src[0-3]$')",
+)
+def filter_regex_blacklist(spark, sf):
+    from canal_spark.operators.filters import blacklist
+
+    return blacklist(load(spark, sf, "documents"), "^src[0-3]$").select("doc_id", "source")
+
+
+@q("project_field_filter", "SELECT doc_id, lang, n_chars FROM documents")
+def project_field_filter(spark, sf):
+    from canal_spark.operators.filters import field_filter
+
+    return field_filter(load(spark, sf, "documents"), keep=["doc_id", "lang", "n_chars"])
+
+
+# ======================================================================
+# 2.3/2.4/2.5 LWW, merge, joins, windows
+# ======================================================================
+LWW_SQL = f"""
+WITH {MAPPED.strip()},
+filtered AS (SELECT * FROM mapped WHERE op IN ('INSERT','UPDATE','DELETE')),
+lww AS (
+  SELECT key, op, lsn, value,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY lsn DESC) AS rn
+  FROM filtered
+)"""
+
+
+@q(
+    "lww_dedup_last_event",
+    LWW_SQL + " SELECT key, op AS last_op, lsn AS last_lsn, value AS last_value "
+    "FROM lww WHERE rn = 1",
+)
+def lww_dedup_last_event(spark, sf):
+    from canal_spark.operators.filters import op_filter
+
+    ch = op_filter(events_as_changelog(spark, sf))
+    return lww_collapse(
+        ch, key="key", order_cols=("lsn",), payload_cols=("op", "lsn", "value")
+    ).select(
+        "key",
+        F.col("op").alias("last_op"),
+        F.col("lsn").alias("last_lsn"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@q(
+    "merge_upsert_final_state",
+    LWW_SQL + " SELECT key, lsn AS last_lsn, value AS last_value "
+    "FROM lww WHERE rn = 1 AND op <> 'DELETE'",
+)
+def merge_upsert_final_state(spark, sf):
+    """The flagship collapse: LWW per key, tombstones drop the key —
+    the final-state semantics of the MERGE kernel, in oracle-checkable
+    form (the file-level kernel itself is exercised in pytest)."""
+    from canal_spark.operators.filters import op_filter
+
+    ch = op_filter(events_as_changelog(spark, sf))
+    return (
+        lww_collapse(ch, key="key", order_cols=("lsn",), payload_cols=("op", "lsn", "value"))
+        .filter(F.col("op") != "DELETE")
+        .select("key", F.col("lsn").alias("last_lsn"), F.col("value").alias("last_value"))
+    )
+
+
+@q(
+    "antijoin_deletes",
+    f"WITH {MAPPED.strip()} SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM mapped m WHERE m.key = c.c_custkey AND m.op = 'DELETE')",
+)
+def antijoin_deletes(spark, sf):
+    dels = events_as_changelog(spark, sf).filter(F.col("op") == "DELETE")
+    cust = load(spark, sf, "customer")
+    return cust.join(
+        dels, cust.c_custkey == dels.key, "left_anti"
+    ).select("c_custkey")
+
+
+@q(
+    "semijoin_active_keys",
+    f"WITH {MAPPED.strip()} SELECT c_custkey FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM mapped m WHERE m.key = c.c_custkey)",
+)
+def semijoin_active_keys(spark, sf):
+    ch = events_as_changelog(spark, sf)
+    cust = load(spark, sf, "customer")
+    return cust.join(ch, cust.c_custkey == ch.key, "left_semi").select("c_custkey")
+
+
+JOIN_SQL = (
+    "SELECT e.event_id AS lsn, e.user_id AS key, c.c_name, c.c_mktsegment "
+    "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"
+)
+
+
+@q("join_enrich_left", JOIN_SQL)
+def join_enrich_left(spark, sf):
+    ev, cust = load(spark, sf, "events"), load(spark, sf, "customer")
+    return ev.join(cust, ev.user_id == cust.c_custkey, "left").select(
+        F.col("event_id").alias("lsn"),
+        F.col("user_id").alias("key"),
+        "c_name",
+        "c_mktsegment",
+    )
+
+
+@q("join_enrich_broadcast", JOIN_SQL)
+def join_enrich_broadcast(spark, sf):
+    ev, cust = load(spark, sf, "events"), load(spark, sf, "customer")
+    return ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left").select(
+        F.col("event_id").alias("lsn"),
+        F.col("user_id").alias("key"),
+        "c_name",
+        "c_mktsegment",
+    )
+
+
+@q(
+    "window_lag_before_image",
+    "SELECT event_id AS lsn, user_id AS key, value, "
+    "LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value FROM events",
+)
+def window_lag_before_image(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return load(spark, sf, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("user_id").alias("key"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+    )
+
+
+# ======================================================================
+# 2.4/2.6 aggregations, tx grouping, metrics, top-k
+# ======================================================================
+@q(
+    "txn_group_complete",
+    "WITH tx AS (SELECT event_id // 16 AS tx_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(MAX(event_id) AS BIGINT) AS max_lsn FROM events GROUP BY 1) "
+    "SELECT tx_id, n_events, max_lsn FROM tx WHERE max_lsn <= 9000",
+)
+def txn_group_complete(spark, sf):
+    return (
+        load(spark, sf, "events")
+        .groupBy(F.floor(F.col("event_id") / 16).alias("tx_id"))
+        .agg(F.count("*").alias("n_events"), F.max("event_id").alias("max_lsn"))
+        .filter(F.col("max_lsn") <= 9000)
+    )
+
+
+@q(
+    "epoch_size_accounting",
+    "SELECT event_id // 1000 AS epoch, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_bytes FROM events GROUP BY 1",
+)
+def epoch_size_accounting(spark, sf):
+    return (
+        load(spark, sf, "events")
+        .groupBy(F.floor(F.col("event_id") / 1000).alias("epoch"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.length("props")).alias("sum_bytes"),
+        )
+    )
+
+
+@q(
+    "metrics_per_partition",
+    f"WITH {MAPPED.strip()} SELECT source_partition, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(MIN(lsn) AS BIGINT) AS min_lsn, CAST(MAX(lsn) AS BIGINT) AS max_lsn, "
+    "MAX(ts) AS max_ts FROM mapped GROUP BY source_partition",
+)
+def metrics_per_partition(spark, sf):
+    return (
+        events_as_changelog(spark, sf)
+        .groupBy("source_partition")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
+@q(
+    "pk_hash_partition",
+    f"SELECT user_id % {N_SOURCE_PARTITIONS} AS bucket, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM events GROUP BY 1",
+)
+def pk_hash_partition(spark, sf):
+    return (
+        load(spark, sf, "events")
+        .groupBy((F.col("user_id") % N_SOURCE_PARTITIONS).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "topk_hot_keys",
+    "SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events FROM events "
+    "GROUP BY user_id ORDER BY n_events DESC, key ASC LIMIT 10",
+)
+def topk_hot_keys(spark, sf):
+    return (
+        load(spark, sf, "events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("key"))
+        .limit(10)
+    )
+
+
+@q(
+    "hot_key_histogram",
+    "WITH per_key AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY user_id) "
+    "SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_keys FROM per_key GROUP BY n_events",
+)
+def hot_key_histogram(spark, sf):
+    per_key = (
+        load(spark, sf, "events").groupBy("user_id").agg(F.count("*").alias("n_events"))
+    )
+    return per_key.groupBy("n_events").agg(F.count("*").alias("n_keys"))
+
+
+@q("distinct_keys_exact", "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys FROM events")
+def distinct_keys_exact(spark, sf):
+    return load(spark, sf, "events").agg(F.countDistinct("user_id").alias("n_keys"))
+
+
+@q("approx_distinct_keys")  # rows-only: HLL sketches differ across engines by design
+def approx_distinct_keys(spark, sf):
+    return load(spark, sf, "events").agg(
+        F.approx_count_distinct("user_id").alias("approx_keys")
+    )
+
+
+# ======================================================================
+# 2.7 set ops
+# ======================================================================
+@q(
+    "union_multi_source",
+    "WITH u AS (SELECT * FROM events WHERE user_id % 2 = 0 "
+    "UNION ALL SELECT * FROM events WHERE user_id % 2 = 1) "
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY event_type",
+)
+def union_multi_source(spark, sf):
+    ev = load(spark, sf, "events")
+    u = ev.filter(F.col("user_id") % 2 == 0).unionByName(ev.filter(F.col("user_id") % 2 == 1))
+    return u.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@q(
+    "state_diff_except",
+    "SELECT c_custkey AS key FROM customer EXCEPT SELECT user_id AS key FROM events",
+)
+def state_diff_except(spark, sf):
+    cust = load(spark, sf, "customer").select(F.col("c_custkey").alias("key"))
+    ev = load(spark, sf, "events").select(F.col("user_id").alias("key"))
+    return cust.subtract(ev)
+
+
+# ======================================================================
+# 2.8 scalar functions
+# ======================================================================
+@q(
+    "cast_types_roundtrip",
+    "SELECT event_id, CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS lsn_rt, "
+    "strftime(ts, '%Y-%m-%d') AS d, CAST(user_id AS INT) AS key_i FROM events",
+)
+def cast_types_roundtrip(spark, sf):
+    return load(spark, sf, "events").select(
+        "event_id",
+        F.col("event_id").cast("string").cast("bigint").alias("lsn_rt"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.col("user_id").cast("int").alias("key_i"),
+    )
+
+
+@q(
+    "ddl_classify",
+    "SELECT CASE event_type WHEN 'signup' THEN 'CREATE' WHEN 'click' THEN 'ALTER' "
+    "WHEN 'purchase' THEN 'ERASE' WHEN 'view' THEN 'QUERY' ELSE 'OTHER' END AS ddl_class, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1",
+)
+def ddl_classify(spark, sf):
+    cls = (
+        F.when(F.col("event_type") == "signup", "CREATE")
+        .when(F.col("event_type") == "click", "ALTER")
+        .when(F.col("event_type") == "purchase", "ERASE")
+        .when(F.col("event_type") == "view", "QUERY")
+        .otherwise("OTHER")
+    )
+    return (
+        load(spark, sf, "events")
+        .groupBy(cls.alias("ddl_class"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "tokens_invariant_ntok",
+    "SELECT vec_id, CAST(len(embedding) AS INT) AS n_dim, label FROM embeddings",
+)
+def tokens_invariant_ntok(spark, sf):
+    return load(spark, sf, "embeddings").select(
+        "vec_id", F.size("embedding").cast("int").alias("n_dim"), "label"
+    )
+
+
+@q(
+    "pandas_udf_token_transform",
+    "SELECT doc_id, CAST(LENGTH(text) AS INT) AS char_len FROM documents",
+)
+def pandas_udf_token_transform(spark, sf):
+    """Vectorized Arrow UDF vs a JVM-side oracle — proves the pandas
+    slow path is semantics-preserving."""
+    return load(spark, sf, "documents").select(
+        "doc_id", char_len_udf(F.col("text")).alias("char_len")
+    )
+
+
+# ======================================================================
+# 2.9 exactly-once (rows-only: not SQL-expressible)
+# ======================================================================
+@q("exactly_once_reapply_noop")
+def exactly_once_reapply_noop(spark, sf):
+    """Mini end-to-end replay twice over: second pass must be a no-op.
+    Returns one row of evidence; the full protocol is pytest-covered."""
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+
+    tmp = tempfile.mkdtemp(prefix="canal_eo_")
+    log = generate_changelog(
+        f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+    )
+    table = SnapshotTable.create(f"{tmp}/table", n_buckets=4)
+    eng = CdcEngine(spark, log, table, lsn_budget=10**9)
+    eng.run_to_completion()
+    epoch1, rows1 = table.current_epoch(), table.read(spark).count()
+    reapply = eng.run_epoch()  # must be None
+    epoch2, rows2 = table.current_epoch(), table.read(spark).count()
+    return spark.createDataFrame(
+        [(epoch1, rows1, reapply is None, epoch1 == epoch2 and rows1 == rows2)],
+        "epoch int, n_rows long, reapply_noop boolean, state_unchanged boolean",
+    )
+
+
+# ======================================================================
+# training-data ops: dedup / similarity / text
+# ======================================================================
+@q(
+    "dedup_exact",
+    "SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY md5(text)",
+)
+def dedup_exact(spark, sf):
+    return DD.exact_dedup(load(spark, sf, "documents"))
+
+
+def _with_planted_dupes(docs: DataFrame) -> DataFrame:
+    """Deterministically plant near-duplicates: re-add the first 10 docs
+    under shifted ids with one word appended (near-dup detectors must
+    find exactly these)."""
+    dupes = (
+        docs.filter(F.col("doc_id") < 10)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    )
+    return docs.unionByName(dupes)
+
+
+@q("dedup_minhash_lsh")  # rows-only: hash-family specific, not ANSI-SQL-expressible
+def dedup_minhash_lsh(spark, sf):
+    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    sh = DD.word_shingles(docs)
+    sig = DD.minhash_signatures(sh, num_perm=16)
+    pairs = DD.lsh_candidate_pairs(sig, bands=4)
+    return DD.jaccard_verify(pairs, sh, min_jaccard=0.5)
+
+
+@q("dedup_simhash")  # rows-only
+def dedup_simhash(spark, sf):
+    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    return DD.simhash_near_pairs(DD.simhash(docs), max_hamming=3)
+
+
+@q("dedup_ngram_jaccard")  # rows-only
+def dedup_ngram_jaccard(spark, sf):
+    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    return DD.char_ngram_jaccard_pairs(docs, block_col="lang", n=3, min_jaccard=0.8)
+
+
+ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+scored AS (SELECT query_id, neighbor_id,
+                  ROUND(list_cosine_similarity(qv, nv), 3) AS sim
+           FROM q, v WHERE query_id <> neighbor_id),
+ranked AS (SELECT query_id, neighbor_id,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@q("ann_cosine_topk", ANN_SQL)
+def ann_cosine_topk(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    return SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@q("ann_lsh_topk")  # rows-only: bucketing is hash-family specific
+def ann_lsh_topk(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    return SIM.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 60)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 3) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 3) >= 0.35
+"""
+
+
+@q("embedding_neardup_cosine", NEARDUP_SQL)
+def embedding_neardup_cosine(spark, sf):
+    return SIM.neardup_pairs_by_cosine(
+        load(spark, sf, "embeddings"), threshold=0.35, max_id=60
+    )
+
+
+@q(
+    "lang_id_heuristic",
+    "SELECT doc_id, CASE WHEN strpos(text, ' the ') > 0 THEN 'en' "
+    "WHEN strpos(text, ' el ') > 0 THEN 'es' WHEN strpos(text, ' le ') > 0 THEN 'fr' "
+    "WHEN strpos(text, ' der ') > 0 THEN 'de' ELSE 'und' END AS pred_lang FROM documents",
+)
+def lang_id_heuristic(spark, sf):
+    return load(spark, sf, "documents").select(
+        "doc_id", TX.lang_id_heuristic("text").alias("pred_lang")
+    )
+
+
+@q(
+    "quality_score",
+    "SELECT doc_id, LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) "
+    "+ CAST(len(list_filter(string_split(text, ' '), "
+    "x -> x IN ('the','a','of','and','to'))) AS DOUBLE) "
+    "  / CAST(len(string_split(text, ' ')) AS DOUBLE) "
+    "- CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) "
+    "  / CAST(LENGTH(text) AS DOUBLE) AS quality FROM documents",
+)
+def quality_score(spark, sf):
+    return load(spark, sf, "documents").select(
+        "doc_id", TX.quality_score("text").alias("quality")
+    )
+
+
+@q(
+    "token_count",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws, "
+    "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpe "
+    "FROM documents",
+)
+def token_count(spark, sf):
+    return load(spark, sf, "documents").select(
+        "doc_id",
+        TX.token_count_whitespace("text").alias("n_ws"),
+        TX.token_count_bpe_ish("text").alias("n_bpe"),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(concat(lang, ':', text)) AS fp FROM documents",
+)
+def doc_fingerprint(spark, sf):
+    return load(spark, sf, "documents").select(
+        "doc_id", TX.fingerprint("text", salt="lang").alias("fp")
+    )
+
+
+@q("multimodal_decode_stub")  # rows-only: binary plumbing, decode stubbed
+def multimodal_decode_stub(spark, sf):
+    from canal_spark.functions.tokens import multimodal_decode_stub as decode
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode(docs)
