@@ -1,0 +1,141 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: the north-rule CDC replay — sustained change-events/sec
+through the full pipeline (scan -> tx barrier -> LWW -> bucket-pruned
+MERGE -> atomic commit) over a synthetic changelog (seed=42, cached in
+/tmp keyed by spec), plus per-operator timings over the driver testdata.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from canal_spark.engine import CdcEngine  # noqa: E402
+from canal_spark.plans.table import SnapshotTable  # noqa: E402
+from canal_spark.queries import QUERIES  # noqa: E402
+from canal_spark.session import get_spark  # noqa: E402
+from canal_spark.sources.changelog import ChangelogSpec, generate_changelog  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("CANAL_BENCH_EVENTS", "8000000"))
+N_EPOCHS = int(os.environ.get("CANAL_BENCH_EPOCHS", "2"))
+
+HEADLINE = [
+    "lww_dedup_last_event",
+    "merge_upsert_final_state",
+    "join_enrich_broadcast",
+    "topk_hot_keys",
+    "union_multi_source",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "token_count",
+    "quality_score",
+    "doc_fingerprint",
+]
+
+
+#: tmpfs when available — the VM's virtio disk serializes concurrent
+#: shuffle writers and would measure the disk (BENCH/BASELINE.md)
+WORK_ROOT = "/dev/shm/canal" if os.path.isdir("/dev/shm") else "/tmp/canal"
+
+
+def bench_changelog(n_events: int) -> tuple[str, ChangelogSpec]:
+    spec = ChangelogSpec(
+        n_events=n_events, n_partitions=32, n_keys=max(1000, n_events // 80), seed=42
+    )
+    path = f"{WORK_ROOT}/bench_log_{n_events}_{spec.n_partitions}_{spec.n_keys}"
+    if not os.path.exists(os.path.join(path, "part-p0000.parquet")):
+        generate_changelog(path, spec)
+    return path, spec
+
+
+def warmup(spark) -> None:
+    """Small replay to get past JIT/codegen before the timed window."""
+    import shutil
+
+    log, _ = bench_changelog(100_000)
+    wt = f"{WORK_ROOT}/warm_table"
+    shutil.rmtree(wt, ignore_errors=True)
+    CdcEngine(spark, log, SnapshotTable.create(wt, n_buckets=16), lsn_budget=10**9).run_to_completion()
+
+
+def run_cdc_replay(spark, n_events: int, n_epochs: int, workdir: str) -> dict:
+    """The north-rule job: full replay in ~n_epochs bounded epochs."""
+    import shutil
+
+    log, spec = bench_changelog(n_events)
+    shutil.rmtree(workdir, ignore_errors=True)
+    table = SnapshotTable.create(workdir, n_buckets=max(32, CPUS))
+    # lsn extent per partition ~ 2 * events/partition; budget for n_epochs
+    budget = max(1, (2 * n_events // spec.n_partitions) // n_epochs + 1)
+    eng = CdcEngine(spark, log, table, lsn_budget=budget)
+    _ = eng.extents  # planning scan outside the timed window
+    t0 = time.monotonic()
+    final_epoch = eng.run_to_completion()
+    wall = time.monotonic() - t0
+    lin = table.lineage_df(spark).toPandas()
+    applied = int(lin.n_events.sum())
+    return {
+        "wall_sec": round(wall, 3),
+        "epochs": int(final_epoch),
+        "events_applied": applied,
+        "events_per_sec": round(applied / wall, 1),
+        "final_rows": table.read(spark).count(),
+    }
+
+
+def main() -> None:
+    os.makedirs(WORK_ROOT, exist_ok=True)
+    spark = get_spark(
+        app="canal_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+        extra_conf={
+            "spark.local.dir": f"{WORK_ROOT}/spark-local",
+            "spark.driver.memory": "24g",
+            "spark.driver.extraJavaOptions": "-XX:+UseG1GC",
+            "spark.cleaner.periodicGC.interval": "15s",
+        },
+    )
+    queries: dict[str, float] = {}
+
+    warmup(spark)
+    replay = run_cdc_replay(spark, N_EVENTS, N_EPOCHS, f"{WORK_ROOT}/bench_table")
+    queries["cdc_replay"] = replay["wall_sec"]
+
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cdc_replay": replay,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

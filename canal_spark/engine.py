@@ -62,7 +62,7 @@ class CdcEngine:
         lsn_budget: int = 1_000_000,
         source_whitelist: str | None = None,
         source_blacklist: str | None = None,
-        broadcast_delta: bool = True,
+        broadcast_threshold_rows: int = 4_000_000,
     ):
         self.spark = spark
         self.changelog_path = changelog_path
@@ -70,7 +70,12 @@ class CdcEngine:
         self.lsn_budget = lsn_budget
         self.source_whitelist = source_whitelist
         self.source_blacklist = source_blacklist
-        self.broadcast_delta = broadcast_delta
+        # the winner/delta joins broadcast when the epoch's distinct-key
+        # count is modest (no shuffle OR sort of the wide event stream —
+        # measured much faster), and fall back to shuffled hash joins
+        # when the key set would make the driver-side broadcast build
+        # (which is serial) the bottleneck or an OOM risk.
+        self.broadcast_threshold_rows = broadcast_threshold_rows
         self._extents: dict[int, int] | None = None
 
     # ------------------------------------------------------------ plan
@@ -98,29 +103,35 @@ class CdcEngine:
         if bounds is None:
             return None
 
+        # NOTE: the slice is deliberately NOT cached — it is consumed by
+        # a handful of aggregations/joins that each re-scan the pruned
+        # parquet range (vectorized, row-group-pruned, scales with
+        # cores). Building a columnar cache of the wide token arrays
+        # costs more heap + wall time than the re-scans (measured).
         floors = {p: f for p, (f, _) in bounds.items()}
         budget = self.lsn_budget
         while True:
-            sl = self._slice(bounds).persist()
+            sl = self._slice(bounds)
             wms = committed_watermarks(sl, floors)
             progressed = any(wms[p] > floors[p] for p in bounds)
             at_extent = all(t >= self.extents[p] for p, (_, t) in bounds.items())
             if progressed or at_extent:
                 break
             # a tx larger than the budget: grow the slice (deterministic)
-            sl.unpersist()
             budget *= 2
             bounds = {p: (f, min(f + budget, self.extents[p])) for p, (f, _) in bounds.items()}
 
         if not any(wms[p] > floors[p] for p in bounds):
             # only a trailing incomplete tx remains anywhere -> done
-            sl.unpersist()
             return None
 
         t0 = time.monotonic()
         apply_df = filters.op_filter(tx_barrier(sl, wms))
-        lineage_rows = (
-            apply_df.groupBy("source_partition")
+        # rollup: per-partition lineage rows PLUS the grand-total row
+        # (source_partition NULL) in one scan — the total's
+        # approx_count_distinct is the epoch's true key cardinality
+        all_rows = (
+            apply_df.rollup("source_partition")
             .agg(
                 F.count("*").alias("n_events"),
                 F.sum((F.col("op") != "DELETE").cast("long")).alias("n_upserts"),
@@ -129,16 +140,21 @@ class CdcEngine:
                 F.min("lsn").alias("min_lsn"),
                 F.max("lsn").alias("max_lsn"),
                 F.max("ts").alias("max_ts"),
+                # free on this scan; drives the broadcast decision below
+                F.approx_count_distinct("doc_id").alias("n_keys_approx"),
             )
             .collect()
         )
+        lineage_rows = [r for r in all_rows if r["source_partition"] is not None]
+        totals = [r for r in all_rows if r["source_partition"] is None]
+        keys_est = int(totals[0]["n_keys_approx"]) if totals else 0
+        small = keys_est <= self.broadcast_threshold_rows
         delta = lww_collapse(
-            apply_df, key="doc_id", payload_cols=PAYLOAD_COLS
+            apply_df, key="doc_id", payload_cols=PAYLOAD_COLS, broadcast_winners=small
         )
         rewritten = merge_epoch(
-            self.spark, self.table, delta, epoch, broadcast_delta=self.broadcast_delta
+            self.spark, self.table, delta, epoch, broadcast_delta=small
         )
-        sl.unpersist()
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         lineage = [

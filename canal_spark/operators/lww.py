@@ -7,24 +7,35 @@ the last event per primary key wins at the sink
 dmlsPartition[] buckets]. Canal has NO skew handling — a hot pk
 serializes on one bucket; here skew is handled structurally.
 
-Spark-first design choice (scale-critical): LWW is expressed as an
-**algebraic aggregation** `max_by(payload, (lsn, source_partition))`,
-NOT as a window `row_number() = 1`:
+Spark-first design (scale-critical, measured — see BENCH/BASELINE.md):
 
-- `max_by` is a declarative aggregate, so Spark performs **map-side
-  partial aggregation**: a hot doc_id with 10^6 events in an epoch
-  collapses to ONE row per map task *before* the shuffle. The shuffle
-  then moves O(distinct keys x tasks), not O(events). This is the
-  two-stage (salted) reduction from SURVEY.md §4 — obtained from the
-  engine's own partial-agg machinery rather than a hand-rolled salt.
-- a window would shuffle ALL events of the hot key to one task first
-  (no partial evaluation) — exactly the skew canal suffers.
+The naive formulations do NOT scale with wide payloads (token arrays):
+- `row_number() OVER (...) = 1` shuffles ALL events of a key to one
+  task and sorts them (no partial evaluation) — canal's hot-pk skew.
+- `max_by(struct(payload), struct(order))` is a DeclarativeAggregate
+  over a non-fixed-width buffer, so Spark falls back to
+  **SortAggregate**: every task sorts the full wide slice. Measured
+  ~2.5x slower than the chosen plan at 4M events and badly
+  GC/spill-bound.
 
-The explicit salted two-stage variant is kept for comparison/tests.
+Chosen plan — "max-ord + winner join":
+1. pack the total order (lsn, source_partition) into ONE BIGINT
+   `ord = lsn << sp_bits | sp` (tie-break is total: lsn DESC then
+   source_partition DESC, required for byte-exact replay parity,
+   BASELINE.json:6);
+2. `groupBy(key).agg(max(ord))` — a fixed-width **HashAggregate** with
+   map-side partial aggregation: a hot doc_id with 10^6 events in an
+   epoch collapses to ONE row per map task BEFORE the shuffle, and the
+   shuffled rows are (key, long), payload-free;
+3. join the winners back on (key, ord): the winner set (one row per
+   distinct key, two columns) is broadcast when small, so the wide
+   event stream is never shuffled OR sorted at all. When too big to
+   broadcast, it degrades to a shuffled hash join on the key —
+   still sort-free, and AQE skew-join splits hot partitions.
 
-Tie-break is total and deterministic: (lsn DESC, source_partition DESC)
-— required for byte-exact replay parity (BASELINE.json:6); never rely
-on row order out of a shuffle.
+Requires (order_cols) to be unique per key — true by construction for
+the changelog ((lsn, source_partition) is unique; lsn is strictly
+monotone per partition).
 """
 
 from __future__ import annotations
@@ -34,14 +45,54 @@ from pyspark.sql import functions as F
 
 ORDER_COLS = ("lsn", "source_partition")
 
+#: bits reserved for source_partition in the packed order key: 4096
+#: source partitions; leaves 51 bits for lsn (>= 2*10^10-event scale
+#: at lsn gaps ~2, 10^10 events fit in 2^45)
+SP_BITS = 12
+
+
+def _packed_order(order_cols: tuple[str, ...], sp_bits: int = SP_BITS):
+    """Total order as one BIGINT (fixed-width => hash-aggregable)."""
+    if len(order_cols) == 1:
+        return F.col(order_cols[0]).cast("long")
+    if len(order_cols) == 2:
+        return F.shiftleft(F.col(order_cols[0]).cast("long"), sp_bits) + F.col(
+            order_cols[1]
+        ).cast("long")
+    raise ValueError("order must be 1 or 2 integer columns")
+
 
 def lww_collapse(
     df: DataFrame,
     key: str = "doc_id",
     order_cols: tuple[str, ...] = ORDER_COLS,
     payload_cols: tuple[str, ...] | None = None,
+    broadcast_winners: bool = True,
 ) -> DataFrame:
     """One row per key: the payload of the greatest (lsn, source_partition)."""
+    if payload_cols is None:
+        payload_cols = tuple(c for c in df.columns if c != key)
+    ord_col = _packed_order(order_cols)
+    winners = df.groupBy(key).agg(F.max(ord_col).alias("_ord"))
+    if broadcast_winners:
+        winners = F.broadcast(winners)
+    return (
+        df.withColumn("_ord", ord_col)
+        .join(winners, [key, "_ord"])
+        .select(key, *payload_cols)
+    )
+
+
+def lww_collapse_maxby(
+    df: DataFrame,
+    key: str = "doc_id",
+    order_cols: tuple[str, ...] = ORDER_COLS,
+    payload_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Single-pass max_by variant. Semantically identical
+    (property-tested); compiles to SortAggregate for wide payloads, so
+    it is kept for comparison and for narrow fixed-width payloads where
+    one pass beats agg+join."""
     if payload_cols is None:
         payload_cols = tuple(c for c in df.columns if c != key)
     return (
@@ -63,23 +114,21 @@ def lww_collapse_salted(
     payload_cols: tuple[str, ...] | None = None,
     n_salts: int = 16,
 ) -> DataFrame:
-    """Explicit two-stage variant: per-(key, salt) partial max-by, then
-    per-key final max-by. Semantically identical to `lww_collapse`
-    (property-tested); useful when partial aggregation is defeated
-    (e.g. a non-algebraic payload reduction)."""
+    """Explicit two-stage salted variant: per-(key, salt) partial winner,
+    then per-key final winner. Redundant with the map-side partial
+    aggregation of `lww_collapse` (property-tested equal); kept for
+    payload reductions that are not algebraic."""
     if payload_cols is None:
         payload_cols = tuple(c for c in df.columns if c != key)
-    ordered = F.struct(*[F.col(c) for c in order_cols])
+    ord_col = _packed_order(order_cols)
     stage1 = (
         df.withColumn("_salt", F.pmod(F.col(order_cols[0]), F.lit(n_salts)))
         .groupBy(key, "_salt")
-        .agg(
-            F.max_by(F.struct(*[F.col(c) for c in payload_cols]), ordered).alias("_last"),
-            F.max(ordered).alias("_ord"),
-        )
+        .agg(F.max(ord_col).alias("_ord"))
     )
+    winners = stage1.groupBy(key).agg(F.max("_ord").alias("_ord"))
     return (
-        stage1.groupBy(key)
-        .agg(F.max_by(F.col("_last"), F.col("_ord")).alias("_last"))
-        .select(key, "_last.*")
+        df.withColumn("_ord", ord_col)
+        .join(F.broadcast(winners), [key, "_ord"])
+        .select(key, *payload_cols)
     )

@@ -68,12 +68,16 @@ def merge_epoch(
     key = snap["key_col"]
     fields = snap["schemas"][str(snap["schema_ver"])]
 
-    delta = delta.withColumn("bucket", bucket_expr(key, n_buckets))
+    # the collapsed delta is consumed three times (bucket discovery,
+    # anti-join keys, upserts) — persist it so the upstream LWW
+    # aggregation runs exactly once per epoch
+    delta = delta.withColumn("bucket", bucket_expr(key, n_buckets)).persist()
     # driver-side metadata, bounded by n_buckets — never by data size
     affected = sorted(
         r["bucket"] for r in delta.select("bucket").distinct().collect()
     )
     if not affected:
+        delta.unpersist()
         return {}
 
     old = table.read(spark, buckets=affected)
@@ -92,6 +96,7 @@ def merge_epoch(
         .partitionBy("bucket")
         .parquet(out_dir)
     )
+    delta.unpersist()
     files = table.list_epoch_files(epoch)
     # an affected bucket can end up empty (all rows deleted) -> []
     return {b: files.get(b, []) for b in affected}

@@ -51,9 +51,13 @@ def test_tx_barrier_holds_back_incomplete_tail(spark):
 
 
 def test_lww_variants_agree_and_match_window(spark, changelog_dir):
+    from canal_spark.operators.lww import lww_collapse_maxby
+
     df = filters.op_filter(spark.read.parquet(changelog_dir))
     a = lww_collapse(df, payload_cols=("op", "n_tok")).toPandas().sort_values("doc_id")
     b = lww_collapse_salted(df, payload_cols=("op", "n_tok")).toPandas().sort_values("doc_id")
+    d = lww_collapse_maxby(df, payload_cols=("op", "n_tok")).toPandas().sort_values("doc_id")
+    assert list(a.doc_id) == list(d.doc_id) and list(a.op) == list(d.op)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy(F.desc("lsn"), F.desc("source_partition"))
@@ -70,12 +74,16 @@ def test_lww_variants_agree_and_match_window(spark, changelog_dir):
         assert list(a.n_tok.fillna(-1)) == list(other.n_tok.fillna(-1))
 
 
-def test_lww_uses_partial_aggregation(spark, changelog_dir):
-    """Scale guard: LWW must be an algebraic aggregate (map-side partial
-    combine collapses hot keys BEFORE the shuffle) — not a window."""
+def test_lww_plan_shape(spark, changelog_dir):
+    """Scale guard: LWW must be a fixed-width HASH aggregate (map-side
+    partial combine collapses hot keys BEFORE the shuffle) followed by a
+    broadcast winner join — never a SortAggregate (the max_by-over-wide-
+    struct fallback) and never a window."""
     df = filters.op_filter(spark.read.parquet(changelog_dir))
     plan = lww_collapse(df)._jdf.queryExecution().executedPlan().toString()
-    assert "partial_max_by" in plan, plan
+    assert "partial_max" in plan, plan
+    assert "HashAggregate" in plan and "SortAggregate" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_epoch_slice_pushes_lsn_filter_to_scan(spark, changelog_dir):
