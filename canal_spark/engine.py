@@ -150,7 +150,11 @@ class CdcEngine:
         keys_est = int(totals[0]["n_keys_approx"]) if totals else 0
         small = keys_est <= self.broadcast_threshold_rows
         delta = lww_collapse(
-            apply_df, key="doc_id", payload_cols=PAYLOAD_COLS, broadcast_winners=small
+            apply_df,
+            key="doc_id",
+            payload_cols=PAYLOAD_COLS,
+            broadcast_winners=small,
+            with_seq=True,
         )
         rewritten = merge_epoch(
             self.spark, self.table, delta, epoch, broadcast_delta=small

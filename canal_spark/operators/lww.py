@@ -68,19 +68,23 @@ def lww_collapse(
     order_cols: tuple[str, ...] = ORDER_COLS,
     payload_cols: tuple[str, ...] | None = None,
     broadcast_winners: bool = True,
+    with_seq: bool = False,
 ) -> DataFrame:
-    """One row per key: the payload of the greatest (lsn, source_partition)."""
+    """One row per key: the payload of the greatest (lsn, source_partition).
+
+    with_seq=True appends the winner's packed order as `_seq` — the
+    version column the conditional MERGE compares against the target's
+    stored versions (late/out-of-order deltas must never overwrite a
+    newer row)."""
     if payload_cols is None:
         payload_cols = tuple(c for c in df.columns if c != key)
     ord_col = _packed_order(order_cols)
     winners = df.groupBy(key).agg(F.max(ord_col).alias("_ord"))
     if broadcast_winners:
         winners = F.broadcast(winners)
-    return (
-        df.withColumn("_ord", ord_col)
-        .join(winners, [key, "_ord"])
-        .select(key, *payload_cols)
-    )
+    out = df.withColumn("_ord", ord_col).join(winners, [key, "_ord"])
+    cols = [key, *payload_cols] + ([F.col("_ord").alias("_seq")] if with_seq else [])
+    return out.select(*cols)
 
 
 def lww_collapse_maxby(

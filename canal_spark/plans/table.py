@@ -48,6 +48,12 @@ from pyspark.sql import functions as F
 
 _SNAP_RE = re.compile(r"snapshot-(\d{8})\.json$")
 
+#: merge metadata stored in every data file: `_seq` = packed total event
+#: order (lsn << 12 | source_partition) of the row's producing event;
+#: `_tombstone` = deleted marker (kept so late lower-_seq updates cannot
+#: resurrect the key). Hidden from default reads.
+META_COLS = ("_seq", "_tombstone")
+
 #: the input_hint data schema (BASELINE.json:15), with Iceberg-style field ids
 DEFAULT_SCHEMA = [
     {"id": 1, "name": "doc_id", "type": "string"},
@@ -132,10 +138,15 @@ class SnapshotTable:
         epoch: int | None = None,
         buckets: list[int] | None = None,
         with_bucket: bool = True,
+        internal: bool = False,
     ) -> DataFrame:
         """Table state as of a snapshot (time travel via `epoch`),
         optionally pruned to a bucket subset (file-level pruning — the
-        files of other buckets are never opened)."""
+        files of other buckets are never opened).
+
+        Default reads hide merge metadata and filter tombstones;
+        internal=True (the MERGE path) exposes `_seq`/`_tombstone` and
+        keeps tombstone rows."""
         snap = self.snapshot(epoch)
         current = snap["schemas"][str(snap["schema_ver"])]
         groups: dict[int, list[str]] = {}
@@ -149,15 +160,17 @@ class SnapshotTable:
         parts = []
         for ver, paths in groups.items():
             df = spark.read.option("basePath", self.data_dir).parquet(*paths)
-            parts.append(self._normalize(df, snap, ver, with_bucket))
+            parts.append(self._normalize(df, snap, ver, with_bucket, internal))
         if not parts:
-            return self._empty(spark, current, with_bucket)
+            return self._empty(spark, current, with_bucket, internal)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
-    def _normalize(self, df: DataFrame, snap: dict, file_ver: int, with_bucket: bool) -> DataFrame:
+    def _normalize(
+        self, df: DataFrame, snap: dict, file_ver: int, with_bucket: bool, internal: bool
+    ) -> DataFrame:
         """Map a file's physical schema (version it was written under) to
         the table's current schema by FIELD ID: rename + widen are just
         alias/cast; added columns materialize as typed NULLs."""
@@ -170,12 +183,20 @@ class SnapshotTable:
                 cols.append(F.lit(None).cast(fld["type"]).alias(fld["name"]))
             else:
                 cols.append(F.col(o["name"]).cast(fld["type"]).alias(fld["name"]))
+        if internal:
+            cols += [F.col("_seq").cast("long"), F.col("_tombstone").cast("boolean")]
+        else:
+            df = df.filter(~F.col("_tombstone"))
         if with_bucket:
             cols.append(F.col("bucket").cast("int").alias("bucket"))
         return df.select(*cols)
 
-    def _empty(self, spark: SparkSession, schema_fields: list[dict], with_bucket: bool) -> DataFrame:
+    def _empty(
+        self, spark: SparkSession, schema_fields: list[dict], with_bucket: bool, internal: bool
+    ) -> DataFrame:
         ddl = ", ".join(f"{f['name']} {f['type']}" for f in schema_fields)
+        if internal:
+            ddl += ", _seq long, _tombstone boolean"
         if with_bucket:
             ddl += ", bucket int"
         return spark.createDataFrame([], ddl)
@@ -188,6 +209,8 @@ class SnapshotTable:
         checkpoints: dict[int, int],
         lineage: list[dict],
         schema_update: dict | None = None,
+        pending: list[str] | None = None,
+        meta: dict | None = None,
     ) -> bool:
         """Atomically publish epoch `e`: carry forward untouched buckets,
         replace rewritten ones, merge checkpoints, append lineage.
@@ -216,20 +239,33 @@ class SnapshotTable:
         ckpts = dict(snap["checkpoints"])
         for p, lsn in checkpoints.items():
             ckpts[str(p)] = max(int(lsn), int(ckpts.get(str(p), -1)))
-        self._write_snapshot(
-            {
-                "epoch": epoch,
-                "parent": cur,
-                "n_buckets": snap["n_buckets"],
-                "key_col": snap["key_col"],
-                "schema_ver": new_ver,
-                "schemas": schemas,
-                "files": files,
-                "checkpoints": ckpts,
-                "lineage": lineage,
-            }
-        )
+        new_snap = {
+            "epoch": epoch,
+            "parent": cur,
+            "n_buckets": snap["n_buckets"],
+            "key_col": snap["key_col"],
+            "schema_ver": new_ver,
+            "schemas": schemas,
+            "files": files,
+            "checkpoints": ckpts,
+            "lineage": lineage,
+            # held-back (uncommitted-transaction) events, replaced wholesale
+            # each epoch — the durable analog of canal's transaction buffer
+            "pending": (
+                [os.path.relpath(p, self.root) for p in pending]
+                if pending is not None
+                else snap.get("pending", [])
+            ),
+            "meta": {**snap.get("meta", {}), **(meta or {})},
+        }
+        self._write_snapshot(new_snap)
         return True
+
+    def read_pending(self, spark: SparkSession) -> DataFrame | None:
+        """Events held back by the tx barrier in the last committed epoch
+        (streaming mode), or None."""
+        paths = [os.path.join(self.root, p) for p in self.snapshot().get("pending", [])]
+        return spark.read.parquet(*paths) if paths else None
 
     # ------------------------------------------------------- utilities
     def checkpoints(self) -> dict[int, int]:

@@ -197,3 +197,12 @@ def read_changelog(spark, path: str):
     """Changelog scan — plain parquet read; epoch slicing pushes lsn/
     source_partition predicates to row-group pruning."""
     return spark.read.parquet(path)
+
+
+#: Spark DDL string of the changelog schema (streaming sources need an
+#: explicit schema — no inference on readStream)
+CHANGELOG_DDL = (
+    "op string, doc_id string, lsn long, source_partition int, tx_id long, "
+    "tx_commit boolean, ts timestamp, tokens array<int>, n_tok int, "
+    "source string, schema_ver int"
+)

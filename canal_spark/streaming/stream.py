@@ -1,0 +1,142 @@
+"""Structured Streaming front-end: the same epoch kernel under
+foreachBatch (T1–T4 semantics, SURVEY.md §2.9).
+
+Canal's pipeline is push-based (parse -> sink -> ring-buffer store ->
+client ack); the streaming front-end maps it to Spark:
+
+- the micro-batch IS the delivered batch (`getWithoutAck` analog);
+- at-least-once redelivery from the source is made exactly-once by the
+  table's idempotent epoch commits PLUS the recorded stream batch id
+  (a replayed foreachBatch with an already-committed batch id is a
+  no-op) — canal's ack/rollback protocol
+  [C: server/.../CanalServerWithEmbedded.java :: #ack/#rollback];
+- events past the last commit marker of their transaction cannot be
+  re-read from a stream (unlike the batch engine, which re-slices the
+  durable log), so the barrier writes them to a durable **pending
+  store** inside the table directory, committed atomically with the
+  epoch, and prepends them to the next batch — canal's
+  EventTransactionBuffer [C: parse/.../EventTransactionBuffer.java],
+  made durable;
+- stale/duplicate events at or below the committed per-partition
+  offset are dropped (offset high-watermark filter, T5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from canal_spark.operators import filters
+from canal_spark.operators.lww import lww_collapse
+from canal_spark.operators.merge import merge_epoch
+from canal_spark.operators.txn import committed_watermarks, tx_barrier
+from canal_spark.plans.table import SnapshotTable
+from canal_spark.sources.changelog import CHANGELOG_DDL
+
+PAYLOAD_COLS = ("op", "tokens", "n_tok", "source")
+
+
+class StreamingUpsert:
+    def __init__(self, spark: SparkSession, table: SnapshotTable):
+        self.spark = spark
+        self.table = table
+
+    # ------------------------------------------------------------ batch
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """One micro-batch -> one commit epoch. Idempotent under
+        foreachBatch redelivery. Returns True if a commit happened."""
+        snap = self.table.snapshot()
+        last_batch = snap.get("meta", {}).get("stream_batch_id", -1)
+        if batch_id <= last_batch:
+            return False  # redelivered batch: already committed
+
+        epoch = snap["epoch"] + 1
+        ckpts = self.table.checkpoints()
+
+        pending = self.table.read_pending(self.spark)
+        inp = batch_df.unionByName(pending) if pending is not None else batch_df
+
+        # offset high-watermark: drop events already applied (stale
+        # redelivery across restarts)
+        if ckpts:
+            committed_map = F.create_map(
+                *[F.lit(x) for kv in ckpts.items() for x in kv]
+            )
+            inp = inp.filter(
+                F.col("lsn")
+                > F.coalesce(committed_map[F.col("source_partition")], F.lit(-1))
+            )
+
+        wms = committed_watermarks(inp, floors=ckpts)
+        apply_df = filters.op_filter(tx_barrier(inp, wms))
+
+        # durable pending store: events past their partition's watermark
+        wm_map = F.create_map(*[F.lit(x) for kv in wms.items() for x in kv]) if wms else None
+        held = (
+            inp.filter(F.col("lsn") > F.coalesce(wm_map[F.col("source_partition")], F.lit(-1)))
+            if wm_map is not None
+            else inp
+        )
+        # NOT inside the epoch data dir — merge_epoch overwrites that dir
+        pending_dir = os.path.join(self.table.root, "pending", f"epoch={epoch}")
+        held.coalesce(1).write.mode("overwrite").parquet(pending_dir)
+        pending_files = [
+            os.path.join(pending_dir, f)
+            for f in os.listdir(pending_dir)
+            if f.endswith(".parquet")
+        ]
+
+        lineage_rows = (
+            apply_df.groupBy("source_partition")
+            .agg(F.count("*").alias("n_events"), F.max("lsn").alias("max_lsn"))
+            .collect()
+        )
+        delta = lww_collapse(apply_df, key="doc_id", payload_cols=PAYLOAD_COLS, with_seq=True)
+        rewritten = merge_epoch(self.spark, self.table, delta, epoch)
+        lineage = [
+            {
+                "epoch": epoch,
+                "source_partition": int(r["source_partition"]),
+                "n_events": int(r["n_events"]),
+                "n_upserts": None,
+                "n_deletes": None,
+                "sum_n_tok": None,
+                "min_lsn": None,
+                "max_lsn": int(r["max_lsn"]),
+                "max_ts": None,
+                "wall_ms": None,
+            }
+            for r in lineage_rows
+        ]
+        return self.table.commit(
+            epoch,
+            rewritten,
+            wms,
+            lineage,
+            pending=pending_files,
+            meta={"stream_batch_id": batch_id},
+        )
+
+    # ------------------------------------------------------------ start
+    def start(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+    ):
+        """Tail a directory of changelog parquet files (the file-source
+        stand-in for a Kafka topic; swap `.format("kafka")` + from_json
+        on a real bus — the batch kernel is unchanged)."""
+        stream = (
+            self.spark.readStream.schema(CHANGELOG_DDL)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

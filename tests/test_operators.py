@@ -109,8 +109,8 @@ def test_merge_bucket_pruning_carries_untouched_files(spark, changelog_dir, tmp_
     from canal_spark.plans.table import bucket_expr
 
     one = spark.createDataFrame(
-        [("UPDATE", "d0000001", [1, 2, 3], 3, "src1")],
-        "op string, doc_id string, tokens array<int>, n_tok int, source string",
+        [("UPDATE", "d0000001", [1, 2, 3], 3, "src1", 2**60)],
+        "op string, doc_id string, tokens array<int>, n_tok int, source string, _seq long",
     )
     target_bucket = one.select(bucket_expr("doc_id", 16).alias("b")).collect()[0]["b"]
     from canal_spark.operators.merge import merge_epoch
