@@ -142,6 +142,89 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its `nprobe` nearest coarse centroids
+    (IVF list ids). Centroids are a small driver-side constant folded
+    into the plan as literals — no shuffle, no broadcast join, scales
+    with |vectors| only. Deterministic tie-break: (sim DESC, cid ASC)."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(cosine(v, F.array(*[F.lit(float(x)) for x in cvec])), 6).alias("sim"),
+                F.lit(-cid).alias("neg_cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.transform(top, lambda s: -s["neg_cid"])).alias("list_id"),
+    )
+
+
+def ivf_bucketed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: vectors are partitioned into
+    `n_lists` inverted lists by nearest coarse centroid; each query
+    probes its `nprobe` nearest lists and scores only those vectors.
+
+    Training sample = the `n_lists` lowest-id vectors (deterministic;
+    on a real corpus use a seeded sample + a few k-means sweeps — the
+    plan shape is identical). At scale the join key is `list_id`
+    (cardinality n_lists), so the big side shuffles once on a small
+    key domain instead of a broadcast nested loop over everything.
+    """
+    cent_rows = (
+        vectors.select(id_col, F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [(i, list(r[1])) for i, r in enumerate(cent_rows)]
+    v = ivf_assign(vectors, centroids, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+        "list_id",
+    )
+    q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        "list_id",
+    )
+    scored = (
+        q.join(v, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 3).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def neardup_pairs_by_cosine(
     vectors: DataFrame,
     threshold: float,

@@ -681,3 +681,186 @@ def multimodal_decode_stub(spark, sf):
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return decode(docs)
+
+
+# ======================================================================
+# joins beyond equi: as-of / range (⊘ in canal, SURVEY.md §2.3 J3)
+# ======================================================================
+ASOF_SQL = """
+WITH p AS (SELECT event_id AS purchase_lsn, user_id AS key, ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id AS key, ts,
+             CAST(MAX(event_id) AS BIGINT) AS click_lsn,
+             arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.key, p.ts, p.purchase_lsn, c.click_lsn, c.click_value
+FROM p ASOF LEFT JOIN c ON p.key = c.key AND p.ts >= c.ts
+"""
+
+
+@q("asof_join_last_click", ASOF_SQL)
+def asof_join_last_click(spark, sf):
+    """For every purchase: the latest click of the same user at or
+    before the purchase time. Scale path = union + running last()
+    (one key shuffle), NOT an inequality join."""
+    from canal_spark.operators.joins import asof_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), "ts", F.col("event_id").alias("purchase_lsn")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("key"), "ts")
+        .agg(
+            F.max("event_id").alias("click_lsn"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="key",
+        time_col="ts",
+        value_cols=["click_lsn", "click_value"],
+        left_cols=["purchase_lsn"],
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT o.o_orderkey AS orderkey, CAST(COUNT(*) AS BIGINT) AS n_ship30
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate
+  AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderkey
+"""
+
+
+@q("range_join_ship_window", RANGE_JOIN_SQL)
+def range_join_ship_window(spark, sf):
+    """Line items shipped within 30 days of their order date — a range
+    predicate riding on a key equi-join (hash join + post-filter, no
+    nested loop)."""
+    from canal_spark.operators.joins import range_join_count
+
+    orders = load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderdate"
+    )
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_shipdate"
+    )
+    return range_join_count(
+        orders,
+        li,
+        on="orderkey",
+        right_time="l_shipdate",
+        low=F.col("o_orderdate"),
+        high=F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        count_alias="n_ship30",
+    )
+
+
+# ======================================================================
+# 2.4 A5 extras: rollup / window frames
+# ======================================================================
+@q(
+    "rollup_event_counts",
+    f"WITH {MAPPED.strip()} "
+    "SELECT source_partition, op, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN op IN ('INSERT','UPDATE','DELETE') THEN 1 ELSE 0 END) AS BIGINT) AS n_dml "
+    "FROM mapped GROUP BY ROLLUP (source_partition, op)",
+)
+def rollup_event_counts(spark, sf):
+    """Multi-level totals in one scan (per (partition, op), per
+    partition, grand total) — the lineage rollup the engine runs each
+    epoch, exposed as a driver query."""
+    return (
+        events_as_changelog(spark, sf)
+        .rollup("source_partition", "op")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.col("op").isin("INSERT", "UPDATE", "DELETE").cast("long")
+            ).alias("n_dml"),
+        )
+    )
+
+
+@q(
+    "running_frame_totals",
+    f"WITH {MAPPED.strip()} "
+    "SELECT lsn, key, "
+    "CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n, "
+    "ROUND(SUM(value) OVER w, 3) AS running_value "
+    "FROM mapped WHERE op IN ('INSERT','UPDATE','DELETE') "
+    "WINDOW w AS (PARTITION BY key ORDER BY lsn "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+)
+def running_frame_totals(spark, sf):
+    """Per-key running event count and value total in lsn order — the
+    analytic-frame surface (W2): explicit ROWS frame, deterministic
+    because lsn is unique within a key."""
+    w = (
+        Window.partitionBy("key")
+        .orderBy("lsn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ch = events_as_changelog(spark, sf).filter(
+        F.col("op").isin("INSERT", "UPDATE", "DELETE")
+    )
+    return ch.select(
+        "lsn",
+        "key",
+        F.count("*").over(w).alias("running_n"),
+        F.round(F.sum("value").over(w), 3).alias("running_value"),
+    )
+
+
+@q("ann_ivf_topk")  # rows-only: IVF list routing is centroid-specific
+def ann_ivf_topk(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    return SIM.ivf_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=8, nprobe=3
+    )
+
+
+@q("schema_evolution_replay")  # rows-only: DDL protocol, not SQL-expressible
+def schema_evolution_replay(spark, sf):
+    """Mini end-to-end: replay, then ADD_COLUMN + RENAME_COLUMN +
+    WIDEN_TYPE as isolated DDL epochs, then replay more DML. Returns
+    one evidence row; golden coverage in tests/test_schema_evolution.py."""
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+
+    tmp = tempfile.mkdtemp(prefix="canal_ddl_")
+    log = generate_changelog(
+        f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+    )
+    table = SnapshotTable.create(f"{tmp}/table", n_buckets=4)
+    eng = CdcEngine(spark, log, table, lsn_budget=1_000)
+    eng.run_epoch()
+    eng.apply_schema_update("ADD_COLUMN", {"name": "quality", "type": "double"})
+    eng.apply_schema_update("RENAME_COLUMN", {"from": "source", "to": "origin"})
+    eng.apply_schema_update("WIDEN_TYPE", {"name": "n_tok", "to": "bigint"})
+    eng.run_to_completion()
+    snap = table.snapshot()
+    fields = {f["name"]: f["type"] for f in snap["schemas"][str(snap["schema_ver"])]}
+    final = table.read(spark)
+    return spark.createDataFrame(
+        [
+            (
+                snap["epoch"],
+                snap["schema_ver"],
+                "quality" in fields,
+                "origin" in fields and "source" not in fields,
+                fields.get("n_tok"),
+                "origin" in final.columns and "quality" in final.columns,
+                final.count(),
+            )
+        ],
+        "epoch int, schema_ver int, added boolean, renamed boolean, "
+        "ntok_type string, readable boolean, n_rows long",
+    )
