@@ -683,6 +683,55 @@ def multimodal_decode_stub(spark, sf):
     return decode(docs)
 
 
+@q(
+    "flatmessage_roundtrip",
+    f"WITH {MAPPED.strip()} "
+    "SELECT lsn AS msg_id, key, op, value, epoch_us(ts) AS es FROM mapped "
+    "WHERE op IN ('INSERT','UPDATE','DELETE')",
+)
+def flatmessage_roundtrip(spark, sf):
+    """Canal FlatMessage edge (S6): encode each change event as the
+    reference's flat MQ JSON (stringly-typed data maps), parse it back
+    with the explicit-schema `from_json` reader, explode + re-type. The
+    oracle computes the same result relationally WITHOUT the JSON hop,
+    so the check proves encode -> parse -> explode is lossless."""
+    from canal_spark.sources.flat_message import parse_flat_messages
+
+    ch = events_as_changelog(spark, sf).filter(
+        F.col("op").isin("INSERT", "UPDATE", "DELETE")
+    )
+    flat = ch.select(
+        F.to_json(
+            F.struct(
+                F.col("lsn").alias("id"),
+                F.lit("testdb").alias("database"),
+                F.lit("docs").alias("table"),
+                F.array(F.lit("key")).alias("pkNames"),
+                F.lit(False).alias("isDdl"),
+                F.col("op").alias("type"),
+                # session TZ pinned UTC, so NTZ -> instant is exact
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("es"),
+                F.array(
+                    F.create_map(
+                        F.lit("key"),
+                        F.col("key").cast("string"),
+                        F.lit("value"),
+                        F.col("value").cast("string"),
+                    )
+                ).alias("data"),
+            )
+        ).alias("msg")
+    )
+    rows = parse_flat_messages(flat, "msg")
+    return rows.select(
+        "msg_id",
+        F.col("row")["key"].cast("bigint").alias("key"),
+        "op",
+        F.col("row")["value"].cast("double").alias("value"),
+        "es",
+    )
+
+
 # ======================================================================
 # joins beyond equi: as-of / range (⊘ in canal, SURVEY.md §2.3 J3)
 # ======================================================================
@@ -821,6 +870,63 @@ def ann_ivf_topk(spark, sf):
     emb = load(spark, sf, "embeddings")
     return SIM.ivf_bucketed_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=8, nprobe=3
+    )
+
+
+@q("stateful_stream_gate")  # rows-only: cross-batch state, not SQL-expressible
+def stateful_stream_gate(spark, sf):
+    """Mini end-to-end applyInPandasWithState run: two micro-batches
+    with a stale event and a redelivered duplicate; returns the gated
+    stream (full coverage in tests/test_stateful_streaming.py)."""
+    import tempfile
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.streaming.stateful import OUTPUT_SCHEMA, stateful_lww_gate
+
+    tmp = tempfile.mkdtemp(prefix="canal_gate_")
+    cols = ["doc_id", "lsn", "source_partition", "op", "tokens", "n_tok", "source"]
+    schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("lsn", pa.int64()),
+            ("source_partition", pa.int32()),
+            ("op", pa.string()),
+            ("tokens", pa.list_(pa.int32())),
+            ("n_tok", pa.int32()),
+            ("source", pa.string()),
+        ]
+    )
+
+    def write(name, rows):
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows, columns=cols), schema=schema),
+            f"{tmp}/{name}",
+        )
+
+    write("b0.parquet", [("a", 5, 0, "UPDATE", [5], 1, "src0"), ("b", 2, 0, "INSERT", [2], 1, "src0")])
+    time.sleep(1.1)
+    write("b1.parquet", [("a", 3, 0, "UPDATE", [3], 1, "src0"), ("a", 7, 0, "UPDATE", [7], 1, "src0"), ("b", 2, 0, "INSERT", [2], 1, "src0")])
+    stream = (
+        spark.readStream.schema(OUTPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    q_ = (
+        stateful_lww_gate(stream)
+        .writeStream.format("memory")
+        .queryName("gate_evidence")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination(120)
+    return spark.sql(
+        "SELECT doc_id, lsn, op FROM gate_evidence ORDER BY doc_id, lsn"
     )
 
 
