@@ -267,6 +267,87 @@ class SnapshotTable:
         paths = [os.path.join(self.root, p) for p in self.snapshot().get("pending", [])]
         return spark.read.parquet(*paths) if paths else None
 
+    # ------------------------------------------------- maintenance / GC
+    def expire_snapshots(self, retain_last: int = 2) -> list[int]:
+        """Drop snapshot manifests older than the last `retain_last`
+        epochs (Iceberg's expire_snapshots). Time travel remains
+        possible only within the retained window; resume/commit need
+        only the CURRENT snapshot, which is always retained.
+
+        At 10^10-event scale this is what bounds metadata: snapshots
+        are O(n_buckets) JSON each, one per epoch, and without
+        expiration every superseded data file stays pinned forever.
+
+        Returns the expired epoch numbers. Lineage carried by expired
+        snapshots is folded into the oldest retained snapshot's
+        `lineage_archive` so per-partition totals stay auditable."""
+        cur = self.current_epoch()
+        if cur is None:
+            return []
+        keep_from = max(0, cur - retain_last + 1)
+        expired, archived = [], []
+        for e in range(0, keep_from):
+            p = self._snap_path(e)
+            if os.path.exists(p):
+                archived.extend(self.snapshot(e)["lineage"])
+                expired.append(e)
+        if not expired:
+            return []
+        oldest_kept = next(
+            (e for e in range(keep_from, cur + 1) if os.path.exists(self._snap_path(e)))
+        )
+        snap = self.snapshot(oldest_kept)
+        snap["lineage_archive"] = snap.get("lineage_archive", []) + archived
+        snap["parent"] = None
+        # rewrite-then-delete: a crash in between leaves extra (stale)
+        # old snapshots, never a missing current one
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._snap_path(oldest_kept))
+        for e in expired:
+            os.remove(self._snap_path(e))
+        return expired
+
+    def remove_orphans(self) -> int:
+        """Delete data files referenced by NO remaining snapshot
+        (Iceberg's remove_orphan_files): superseded bucket rewrites
+        past the retention window, and leftovers of crashed epochs.
+        Safe to run any time; returns the number of files removed."""
+        referenced: set[str] = set()
+        for fn in os.listdir(self.meta_dir):
+            if not _SNAP_RE.match(fn):
+                continue
+            with open(os.path.join(self.meta_dir, fn)) as f:
+                s = json.load(f)
+            for flist in s["files"].values():
+                referenced.update(fe["path"] for fe in flist)
+            referenced.update(s.get("pending", []))
+        removed = 0
+        for dirpath, _dirnames, filenames in os.walk(self.data_dir, topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    os.remove(full)
+                    removed += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        # pending/ lives outside data_dir
+        pend_root = os.path.join(self.root, "pending")
+        if os.path.isdir(pend_root):
+            for dirpath, _dirnames, filenames in os.walk(pend_root, topdown=False):
+                for fn in filenames:
+                    full = os.path.join(dirpath, fn)
+                    if os.path.relpath(full, self.root) not in referenced:
+                        os.remove(full)
+                        removed += 1
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+        return removed
+
     # ------------------------------------------------------- utilities
     def checkpoints(self) -> dict[int, int]:
         return {int(k): int(v) for k, v in self.snapshot()["checkpoints"].items()}
