@@ -1,0 +1,97 @@
+"""Regenerate BENCH/PLANS.md: physical-plan evidence that the engine's
+hot paths keep the properties claimed in SURVEY.md §4 — predicate
+pushdown to the parquet scan, hash (not sort) aggregation in LWW,
+broadcast of small dims, no nested-loop joins, whole-stage codegen.
+
+Usage: python scripts/plan_evidence.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from canal_spark.queries import QUERIES  # noqa: E402
+from canal_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+#: (query, properties that MUST hold, properties that MUST NOT appear)
+#: codegen note: in explain('formatted') whole-stage-codegen membership
+#: is the `*` prefix on a node ("* Filter (3)"); under AQE the final
+#: codegen'd plan only materializes at execution, so `*` is asserted
+#: only on non-adaptive plans.
+CHECKS = [
+    ("scan_lsn_range", ["PushedFilters: [IsNotNull(event_id), GreaterThan(event_id", "* Filter"], ["SortAggregate"]),
+    ("lww_dedup_last_event", ["HashAggregate"], ["SortAggregate", "Window", "SortMergeJoin"]),
+    ("merge_upsert_final_state", ["HashAggregate"], ["SortAggregate", "SortMergeJoin", "CartesianProduct"]),
+    ("join_enrich_broadcast", ["BroadcastHashJoin"], ["SortMergeJoin", "BroadcastNestedLoopJoin"]),
+    ("asof_join_last_click", ["Window"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    ("range_join_ship_window", [], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    ("dedup_exact", ["HashAggregate"], ["SortAggregate"]),
+    # the projection must collapse into the scan: ReadSchema carries
+    # only the kept columns; the wide `text` column is never read
+    ("project_field_filter", ["ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"], ["text:string"]),
+]
+
+
+def main() -> None:
+    spark = get_spark(app="plan_evidence", master="local[4]", shuffle_partitions=8)
+    lines = [
+        "# PLANS — physical-plan evidence (auto-generated)",
+        "",
+        "Regenerate with `python scripts/plan_evidence.py`. Each section",
+        "shows the `explain('formatted')` header of a driver query plus",
+        "the asserted plan properties (scale posture per SURVEY.md §4).",
+        "",
+    ]
+    failures = []
+    for name, must, must_not in CHECKS:
+        import contextlib
+        import io
+
+        df = QUERIES[name](spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        ok = True
+        for m in must:
+            if m not in plan:
+                ok = False
+                failures.append(f"{name}: missing {m!r}")
+        for m in must_not:
+            if m in plan:
+                ok = False
+                failures.append(f"{name}: unexpected {m!r}")
+        head = plan.split("\n\n")[0]
+        # compress file listings
+        head = re.sub(r"Location: \S+", "Location: …", head)
+        lines += [
+            f"## {name} — {'OK' if ok else 'VIOLATION'}",
+            "",
+            f"- asserted present: {', '.join(must) if must else '(none)'}",
+            f"- asserted absent: {', '.join(must_not) if must_not else '(none)'}",
+            "",
+            "```",
+            head.strip(),
+            "```",
+            "",
+        ]
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+    if failures:
+        print("VIOLATIONS:")
+        for x in failures:
+            print(" -", x)
+        sys.exit(1)
+    print("all plan properties hold")
+
+
+if __name__ == "__main__":
+    main()
