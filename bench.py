@@ -45,6 +45,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "asof_join_last_click",
+    "range_join_ship_window",
+    "flatmessage_roundtrip",
     "token_count",
     "quality_score",
     "doc_fingerprint",
@@ -83,10 +87,12 @@ def run_cdc_replay(spark, n_events: int, n_epochs: int, workdir: str) -> dict:
     log, spec = bench_changelog(n_events)
     shutil.rmtree(workdir, ignore_errors=True)
     table = SnapshotTable.create(workdir, n_buckets=max(32, CPUS))
-    # lsn extent per partition ~ 2 * events/partition; budget for n_epochs
-    budget = max(1, (2 * n_events // spec.n_partitions) // n_epochs + 1)
-    eng = CdcEngine(spark, log, table, lsn_budget=budget)
+    eng = CdcEngine(spark, log, table, lsn_budget=1)
     _ = eng.extents  # planning scan outside the timed window
+    # exact budget from extents: the replay runs in exactly n_epochs
+    # (a row-count heuristic leaves a degenerate trailing epoch that
+    # pays full fixed cost for ~no events)
+    eng.lsn_budget = eng.budget_for_epochs(n_epochs)
     t0 = time.monotonic()
     final_epoch = eng.run_to_completion()
     wall = time.monotonic() - t0

@@ -53,6 +53,21 @@ class EpochResult:
     checkpoints: dict[int, int]
 
 
+@dataclass
+class _Prepared:
+    """Pre-write state of one epoch (see CdcEngine._prepare)."""
+
+    epoch: int
+    wms: dict[int, int]
+    ckpts_after: dict[int, int]
+    apply_df: object
+    winners: object
+    affected: list[int]
+    small: bool
+    lineage_thread: object
+    lineage_box: dict
+
+
 class CdcEngine:
     def __init__(
         self,
@@ -85,6 +100,18 @@ class CdcEngine:
             self._extents = partition_extents(self.spark, self.changelog_path)
         return self._extents
 
+    def budget_for_epochs(self, n_epochs: int) -> int:
+        """LSN budget that consumes the remaining changelog in exactly
+        `n_epochs` epochs (max over partitions of remaining extent / n).
+        Avoids the degenerate trailing epoch a row-count heuristic
+        produces — an (almost) empty epoch still pays the full fixed
+        cost of planning, aggregation barriers, and commit."""
+        ckpts = self.table.checkpoints()
+        remaining = [
+            self.extents[p] - ckpts.get(p, -1) for p in self.extents
+        ]
+        return max(1, (max(remaining) + n_epochs - 1) // n_epochs)
+
     def _slice(self, bounds: dict[int, tuple[int, int]]):
         df = read_slice(self.spark, self.changelog_path, bounds)
         if self.source_whitelist:
@@ -94,11 +121,13 @@ class CdcEngine:
         return df
 
     # ------------------------------------------------------------- run
-    def run_epoch(self) -> EpochResult | None:
-        """Run the next epoch. Returns None when the changelog is fully
-        consumed (no committable events remain past any checkpoint)."""
-        epoch = (self.table.current_epoch() or 0) + 1
-        ckpts = self.table.checkpoints()
+    def _prepare(self, ckpts: dict[int, int], epoch: int) -> "_Prepared | None":
+        """Everything BEFORE the write job: plan bounds, find committed
+        watermarks, launch the lineage collect (background thread), and
+        materialize the cached winners. Reads only the immutable
+        changelog — never the table — so it is safe to run concurrently
+        with the previous epoch's write (pipelining, see
+        run_to_completion)."""
         bounds = plan_epoch(ckpts, self.extents, self.lsn_budget)
         if bounds is None:
             return None
@@ -125,13 +154,23 @@ class CdcEngine:
             # only a trailing incomplete tx remains anywhere -> done
             return None
 
-        t0 = time.monotonic()
         apply_df = filters.op_filter(tx_barrier(sl, wms))
-        # rollup: per-partition lineage rows PLUS the grand-total row
-        # (source_partition NULL) in one scan — the total's
-        # approx_count_distinct is the epoch's true key cardinality
-        all_rows = (
-            apply_df.rollup("source_partition")
+        # per-partition lineage metrics in one NARROW scan (no HLL: an
+        # approx_count_distinct over the key strings measurably
+        # dominated this pass; key cardinality now comes exact and free
+        # from the winners count below).
+        # (A grouping-sets fusion of this pass with the LWW winners agg
+        # was measured and REJECTED: Expand doubles the input rows into
+        # an 8-buffer aggregate — ~70% slower than the two narrow
+        # scans at 64M events/local[8].)
+        # The collect runs on a SEPARATE THREAD, concurrent with the
+        # winners/merge jobs: its scan fills executor idle time during
+        # the driver-serial windows (broadcast build, planning) instead
+        # of extending the critical path.
+        import threading
+
+        lineage_q = (
+            apply_df.groupBy("source_partition")
             .agg(
                 F.count("*").alias("n_events"),
                 F.sum((F.col("op") != "DELETE").cast("long")).alias("n_upserts"),
@@ -140,25 +179,80 @@ class CdcEngine:
                 F.min("lsn").alias("min_lsn"),
                 F.max("lsn").alias("max_lsn"),
                 F.max("ts").alias("max_ts"),
-                # free on this scan; drives the broadcast decision below
-                F.approx_count_distinct("doc_id").alias("n_keys_approx"),
             )
+        )
+        box: dict = {}
+
+        def _collect_lineage() -> None:
+            try:
+                box["rows"] = lineage_q.collect()
+            except Exception as ex:  # noqa: BLE001 - re-raised on join
+                box["err"] = ex
+
+        th = threading.Thread(target=_collect_lineage, daemon=True)
+        th.start()
+
+        # winners computed ONCE, cached: one job materializes the cache
+        # and returns per-bucket counts — the exact key cardinality
+        # (broadcast decision) AND the affected-bucket set, so the merge
+        # does not need its own discovery job.
+        from canal_spark.operators.lww import _packed_order
+        from canal_spark.plans.table import bucket_expr
+
+        winners = (
+            apply_df.groupBy("doc_id")
+            .agg(F.max(_packed_order(("lsn", "source_partition"))).alias("_ord"))
+            .persist()
+        )
+        bucket_counts = (
+            winners.groupBy(
+                bucket_expr("doc_id", self.table.snapshot()["n_buckets"]).alias("bucket")
+            )
+            .count()
             .collect()
         )
-        lineage_rows = [r for r in all_rows if r["source_partition"] is not None]
-        totals = [r for r in all_rows if r["source_partition"] is None]
-        keys_est = int(totals[0]["n_keys_approx"]) if totals else 0
-        small = keys_est <= self.broadcast_threshold_rows
+        n_keys = sum(int(r["count"]) for r in bucket_counts)
+        affected = sorted(int(r["bucket"]) for r in bucket_counts)
+        small = n_keys <= self.broadcast_threshold_rows
+        return _Prepared(
+            epoch=epoch,
+            wms=wms,
+            ckpts_after={**ckpts, **wms},
+            apply_df=apply_df,
+            winners=winners,
+            affected=affected,
+            small=small,
+            lineage_thread=th,
+            lineage_box=box,
+        )
+
+    def _execute(self, prep: "_Prepared") -> EpochResult:
+        """The write job + atomic commit for a prepared epoch."""
+        t0 = time.monotonic()
         delta = lww_collapse(
-            apply_df,
+            prep.apply_df,
             key="doc_id",
             payload_cols=PAYLOAD_COLS,
-            broadcast_winners=small,
+            broadcast_winners=prep.small,
             with_seq=True,
+            winners=prep.winners,
         )
         rewritten = merge_epoch(
-            self.spark, self.table, delta, epoch, broadcast_delta=small
+            self.spark,
+            self.table,
+            delta,
+            prep.epoch,
+            broadcast_delta=prep.small,
+            key_frame=prep.winners,
+            affected=prep.affected,
         )
+        prep.winners.unpersist()
+        prep.lineage_thread.join()
+        box = prep.lineage_box
+        if "err" in box:
+            raise box["err"]
+        lineage_rows = box["rows"]
+        epoch, wms = prep.epoch, prep.wms
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         lineage = [
@@ -182,11 +276,50 @@ class CdcEngine:
         committed = self.table.commit(epoch, rewritten, wms, lineage)
         return EpochResult(epoch, committed, n_events, wms)
 
+    def run_epoch(self) -> EpochResult | None:
+        """Run the next epoch. Returns None when the changelog is fully
+        consumed (no committable events remain past any checkpoint)."""
+        prep = self._prepare(
+            self.table.checkpoints(), (self.table.current_epoch() or 0) + 1
+        )
+        if prep is None:
+            return None
+        return self._execute(prep)
+
     def run_to_completion(self, max_epochs: int = 10_000) -> int:
-        """Replay the whole changelog; returns the final epoch number."""
+        """Replay the whole changelog; returns the final epoch number.
+
+        PIPELINED: epoch e+1's bounds depend only on e's watermarks
+        (known before e's write starts), so e+1's changelog scans and
+        winner aggregation run on a background thread concurrent with
+        e's write job — their work fills the executor idle time during
+        e's driver-serial windows (planning, broadcast build, commit).
+        Commits remain strictly sequential; a crash leaves the same
+        states as the unpipelined loop (preparation only READS the
+        immutable changelog)."""
+        import threading
+
+        prep = self._prepare(
+            self.table.checkpoints(), (self.table.current_epoch() or 0) + 1
+        )
         for _ in range(max_epochs):
-            if self.run_epoch() is None:
+            if prep is None:
                 break
+            nxt: dict = {}
+
+            def _prepare_next(ckpts=prep.ckpts_after, e=prep.epoch + 1) -> None:
+                try:
+                    nxt["prep"] = self._prepare(dict(ckpts), e)
+                except Exception as ex:  # noqa: BLE001 - re-raised below
+                    nxt["err"] = ex
+
+            th = threading.Thread(target=_prepare_next, daemon=True)
+            th.start()
+            self._execute(prep)
+            th.join()
+            if "err" in nxt:
+                raise nxt["err"]
+            prep = nxt.get("prep")
         return self.table.current_epoch() or 0
 
     # -------------------------------------------------------- evolution

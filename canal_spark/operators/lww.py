@@ -69,20 +69,37 @@ def lww_collapse(
     payload_cols: tuple[str, ...] | None = None,
     broadcast_winners: bool = True,
     with_seq: bool = False,
+    winners: DataFrame | None = None,
 ) -> DataFrame:
     """One row per key: the payload of the greatest (lsn, source_partition).
 
     with_seq=True appends the winner's packed order as `_seq` — the
     version column the conditional MERGE compares against the target's
     stored versions (late/out-of-order deltas must never overwrite a
-    newer row)."""
+    newer row).
+
+    `winners` may be precomputed (columns: key, `_ord`) — the engine
+    derives it from the fused grouping-sets lineage pass so the slice
+    is aggregated once per epoch, not twice."""
     if payload_cols is None:
         payload_cols = tuple(c for c in df.columns if c != key)
     ord_col = _packed_order(order_cols)
-    winners = df.groupBy(key).agg(F.max(ord_col).alias("_ord"))
+    if winners is None:
+        winners = df.groupBy(key).agg(F.max(ord_col).alias("_ord"))
     if broadcast_winners:
         winners = F.broadcast(winners)
-    out = df.withColumn("_ord", ord_col).join(winners, [key, "_ord"])
+    # join keyed on `key` ALONE (winner match = post-filter on the
+    # packed order): the broadcast hash relation is keyed identically
+    # to the MERGE's anti/semi key joins, so when the engine passes the
+    # same cached winners frame everywhere, ReuseExchange builds the
+    # broadcast ONCE per write job instead of once per join. Each event
+    # row matches exactly one winner row (winners are unique per key),
+    # so the join does not expand.
+    out = (
+        df.withColumn("_ord_ev", ord_col)
+        .join(winners, [key])
+        .filter(F.col("_ord_ev") == F.col("_ord"))
+    )
     cols = [key, *payload_cols] + ([F.col("_ord").alias("_seq")] if with_seq else [])
     return out.select(*cols)
 

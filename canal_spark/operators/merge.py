@@ -70,6 +70,8 @@ def merge_epoch(
     delta: DataFrame,
     epoch: int,
     broadcast_delta: bool = True,
+    key_frame: DataFrame | None = None,
+    affected: list[int] | None = None,
 ) -> dict[int, list[str]]:
     """Write epoch `e`'s rewritten buckets; return {bucket: [files]}.
 
@@ -77,31 +79,59 @@ def merge_epoch(
     columns. Does NOT commit — the caller commits the returned file map
     atomically (engine.py), so a crash here leaves only unreferenced
     orphan files.
+
+    `key_frame` (optional): a small frame holding exactly the delta's
+    distinct keys (the engine passes its cached LWW winners). With it,
+    bucket discovery and the anti/semi join keys come from the cache,
+    the wide delta is consumed EXACTLY ONCE (inside the write job) and
+    is never persisted — measurably less driver latency and GC churn
+    per epoch than caching the token arrays.
     """
     snap = table.snapshot()
     n_buckets = snap["n_buckets"]
     key = snap["key_col"]
     fields = snap["schemas"][str(snap["schema_ver"])]
 
-    # the collapsed delta is consumed several times (bucket discovery,
-    # join keys, resolve) — persist it so the upstream LWW aggregation
-    # runs exactly once per epoch
     delta = align_to_schema(
         delta.withColumn("bucket", bucket_expr(key, n_buckets)), fields, key
-    ).persist()
-    # driver-side metadata, bounded by n_buckets — never by data size
-    affected = sorted(r["bucket"] for r in delta.select("bucket").distinct().collect())
+    )
+    own_persist = key_frame is None
+    if own_persist:
+        # no key frame: the delta is consumed several times (bucket
+        # discovery, join keys, resolve) — persist it so the upstream
+        # LWW aggregation runs exactly once per epoch
+        delta = delta.persist()
+        keys_df = delta.select("bucket", key)
+        affected_src = keys_df.select("bucket")
+    else:
+        # pass the key frame through VERBATIM as the join side: it is
+        # the same (cached) winners subtree the LWW winner join
+        # broadcasts, keyed on `key` alone — ReuseExchange then builds
+        # ONE broadcast per write job for all three joins
+        keys_df = key_frame
+        affected_src = key_frame.select(bucket_expr(key, n_buckets).alias("bucket"))
+    # driver-side metadata, bounded by n_buckets — never by data size;
+    # the engine passes `affected` precomputed from its winners job
+    if affected is None:
+        affected = sorted(r["bucket"] for r in affected_src.distinct().collect())
     if not affected:
-        delta.unpersist()
+        if own_persist:
+            delta.unpersist()
         return {}
 
     old = table.read(spark, buckets=affected, internal=True)
-    delta_keys = delta.select("bucket", key)
+    delta_keys = keys_df
     if broadcast_delta:
         delta_keys = F.broadcast(delta_keys)
 
-    untouched = old.join(delta_keys, ["bucket", key], "left_anti")
-    contested = old.join(delta_keys, ["bucket", key], "left_semi")
+    # keyed on `key` ALONE when a key frame is passed: `old` is already
+    # pruned to the affected buckets and bucket = f(key), so key
+    # equality implies bucket equality. The frame is joined VERBATIM
+    # (no projection) so its broadcast subtree stays byte-identical to
+    # the LWW winner join's and is built once (ReuseExchange).
+    join_on = [key] if key_frame is not None else ["bucket", key]
+    untouched = old.join(delta_keys, join_on, "left_anti")
+    contested = old.join(delta_keys, join_on, "left_semi")
 
     data_cols = [f["name"] for f in fields if f["name"] != key] + ["_seq", "_tombstone"]
     o, d = contested.alias("o"), delta.alias("d")
@@ -127,7 +157,8 @@ def merge_epoch(
         .partitionBy("bucket")
         .parquet(out_dir)
     )
-    delta.unpersist()
+    if own_persist:
+        delta.unpersist()
     files = table.list_epoch_files(epoch)
     return {b: files.get(b, []) for b in affected}
 

@@ -58,17 +58,29 @@ wt = os.path.join(shm, "warm_table"); shutil.rmtree(wt, ignore_errors=True)
 CdcEngine(spark, warm_log, SnapshotTable.create(wt, n_buckets=16), lsn_budget=10**9).run_to_completion()
 
 results = []
+best_wall = float("inf"); since_improved = 0
 for run in range(runs):
     tbl = os.path.join(shm, f"scaling_table_{cores}"); shutil.rmtree(tbl, ignore_errors=True)
     table = SnapshotTable.create(tbl, n_buckets=64)
-    budget = (2 * n_events // 32) // epochs + 1
-    eng = CdcEngine(spark, log, table, lsn_budget=budget)
+    thr = int(os.environ.get("CANAL_BCAST_THRESHOLD", "4000000"))
+    eng = CdcEngine(spark, log, table, lsn_budget=1, broadcast_threshold_rows=thr)
     _ = eng.extents
+    eng.lsn_budget = eng.budget_for_epochs(epochs)  # exactly `epochs` epochs, no stub tail
     t0 = time.monotonic(); eng.run_to_completion(); wall = time.monotonic() - t0
     lin = table.lineage_df(spark).toPandas(); applied = int(lin.n_events.sum())
     results.append({"wall_sec": round(wall, 2), "events_applied": applied,
                     "events_per_sec": round(applied / wall, 1),
                     "epochs": int(table.current_epoch() or 0)})
+    # steady-state convergence, uniform across levels: run until the
+    # best wall has not improved by >2% for 2 consecutive runs (JIT /
+    # codegen plateau; a fixed small N under-warms some levels), with
+    # a floor of 4 runs and a cap of `runs`
+    if wall < best_wall * 0.98:
+        best_wall = wall; since_improved = 0
+    else:
+        since_improved += 1
+        if run >= 3 and since_improved >= 2:
+            break
 best = max(results, key=lambda r: r["events_per_sec"])
 print("SCALING_RESULT " + json.dumps({"cores": cores, "runs": results, "best": best}), flush=True)
 """
@@ -80,6 +92,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--cores", default="2,8,32")
+    ap.add_argument("--out", default="scaling_result.json")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -135,7 +148,7 @@ def main() -> None:
             out[32]["best"]["events_per_sec"] / out[8]["best"]["events_per_sec"], 2
         )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", args.out), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
 
