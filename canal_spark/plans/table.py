@@ -311,6 +311,57 @@ class SnapshotTable:
             os.remove(self._snap_path(e))
         return expired
 
+    def compact_tombstones(self, spark: SparkSession) -> int:
+        """Physically drop tombstone rows that can never be outvoted:
+        a DELETE marker is kept as a row so a late LOWER-`_seq` update
+        cannot resurrect the key (merge.py), but once every source
+        partition's committed checkpoint has advanced past the
+        tombstone's event, no such late event can ever arrive (lsn is
+        monotone per partition and the offset high-watermark filter
+        drops stale replays). Those rows are pure bloat at 10^10 scale
+        — an update-heavy workload accretes one per deleted key.
+
+        Safety bound: a tombstone with packed order `_seq` is
+        collectable iff `_seq` < min over ALL source partitions of
+        pack(committed_lsn + 1, 0) — any future event in partition p
+        has lsn > committed_lsn(p), hence packed order >= that bound.
+
+        Rewrites only buckets that contain collectable tombstones, as
+        one new commit epoch (snapshot isolation preserved; time travel
+        to earlier snapshots still sees the tombstones). Returns the
+        number of rows dropped."""
+        from canal_spark.operators.lww import SP_BITS
+
+        snap = self.snapshot()
+        ckpts = self.checkpoints()
+        if not ckpts:
+            return 0
+        bound = min((lsn + 1) << SP_BITS for lsn in ckpts.values())
+        state = self.read(spark, internal=True)
+        dead = state.filter(F.col("_tombstone") & (F.col("_seq") < bound))
+        buckets = sorted(
+            r["bucket"] for r in dead.select("bucket").distinct().collect()
+        )
+        if not buckets:
+            return 0
+        n_dead = dead.count()
+        epoch = snap["epoch"] + 1
+        keep = self.read(spark, buckets=buckets, internal=True).filter(
+            ~(F.col("_tombstone") & (F.col("_seq") < bound))
+        )
+        cols = [f["name"] for f in snap["schemas"][str(snap["schema_ver"])]]
+        out_dir = self.epoch_data_dir(epoch)
+        (
+            keep.select(*cols, "_seq", "_tombstone", "bucket")
+            .repartition(len(buckets), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out_dir)
+        )
+        files = self.list_epoch_files(epoch)
+        self.commit(epoch, {b: files.get(b, []) for b in buckets}, {}, [])
+        return int(n_dead)
+
     def remove_orphans(self) -> int:
         """Delete data files referenced by NO remaining snapshot
         (Iceberg's remove_orphan_files): superseded bucket rewrites

@@ -85,3 +85,73 @@ def test_lineage_archived_across_expiration(spark, changelog_dir, tmp_path):
     archived = sum(r["n_events"] for r in snap.get("lineage_archive", []))
     kept = int(table.lineage_df(spark).toPandas().n_events.sum())
     assert archived + kept == total_before
+
+
+def test_tombstone_compaction_safe_and_effective(spark, changelog_dir, oracle_state, tmp_path):
+    table, eng = _replay_many_epochs(spark, changelog_dir, str(tmp_path / "t5"))
+    import pyspark.sql.functions as F
+
+    from canal_spark.operators.lww import SP_BITS
+
+    tombs = table.read(spark, internal=True).filter(F.col("_tombstone"))
+    n_tomb_before = tombs.count()
+    assert n_tomb_before > 0, "fixture must produce deletes"
+    # the collectable set is bounded by the WEAKEST partition checkpoint
+    # (a tombstone above that bound could in principle still be raced
+    # by a late lower-_seq event from another partition)
+    bound = min((lsn + 1) << SP_BITS for lsn in table.checkpoints().values())
+    n_collectable = tombs.filter(F.col("_seq") < bound).count()
+    assert n_collectable > 0
+
+    dropped = table.compact_tombstones(spark)
+    assert dropped == n_collectable
+    remaining = (
+        table.read(spark, internal=True).filter(F.col("_tombstone")).count()
+    )
+    assert remaining == n_tomb_before - n_collectable
+    # every survivor is above the safety bound
+    assert (
+        table.read(spark, internal=True)
+        .filter(F.col("_tombstone") & (F.col("_seq") < bound))
+        .count()
+        == 0
+    )
+    # visible state unchanged and still oracle-exact
+    assert_state_equals_oracle(table.read(spark), oracle_state)
+    # re-apply after compaction still a no-op; second compaction is a no-op
+    assert eng.run_epoch() is None
+    assert table.compact_tombstones(spark) == 0
+
+
+def test_tombstone_compaction_mid_replay_keeps_live_tombstones(spark, changelog_dir, tmp_path):
+    """Mid-replay, tombstones newer than the weakest checkpoint must
+    survive compaction (a late lower-_seq event could still arrive)."""
+    import pyspark.sql.functions as F
+
+    from canal_spark.operators.lww import SP_BITS
+
+    root = str(tmp_path / "t6")
+    table = SnapshotTable.create(root, n_buckets=8)
+    eng = CdcEngine(spark, changelog_dir, table, lsn_budget=400)
+    for _ in range(2):
+        eng.run_epoch()
+    ckpts = table.checkpoints()
+    bound = min((lsn + 1) << SP_BITS for lsn in ckpts.values())
+    live_before = (
+        table.read(spark, internal=True)
+        .filter(F.col("_tombstone") & (F.col("_seq") >= bound))
+        .count()
+    )
+    table.compact_tombstones(spark)
+    live_after = (
+        table.read(spark, internal=True)
+        .filter(F.col("_tombstone") & (F.col("_seq") >= bound))
+        .count()
+    )
+    assert live_after == live_before
+    # and the replay still converges to the oracle afterwards
+    eng2 = CdcEngine(spark, changelog_dir, SnapshotTable(root), lsn_budget=10**9)
+    eng2.run_to_completion()
+    from tests.oracle_replay import replay
+
+    assert_state_equals_oracle(SnapshotTable(root).read(spark), replay(changelog_dir))
