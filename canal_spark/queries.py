@@ -873,6 +873,23 @@ def ann_ivf_topk(spark, sf):
     )
 
 
+@q(
+    "windowed_event_counts",
+    "SELECT date_trunc('hour', ts) AS win_start, event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2",
+)
+def windowed_event_counts(spark, sf):
+    """Tumbling event-time windows (batch form of
+    streaming/windows.py::windowed_change_counts — same aggregation,
+    watermark is a no-op on a batch frame)."""
+    return (
+        load(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
 @q("stateful_stream_gate")  # rows-only: cross-batch state, not SQL-expressible
 def stateful_stream_gate(spark, sf):
     """Mini end-to-end applyInPandasWithState run: two micro-batches
