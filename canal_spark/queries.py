@@ -874,6 +874,50 @@ def ann_ivf_topk(spark, sf):
 
 
 @q(
+    "state_diff_intersect",
+    "SELECT DISTINCT user_id AS key FROM events WHERE event_id <= 5000 "
+    "INTERSECT SELECT DISTINCT user_id AS key FROM events WHERE event_id > 5000",
+)
+def state_diff_intersect(spark, sf):
+    """Set intersection (U2): keys active in both halves of the log."""
+    ev = load(spark, sf, "events")
+    first = ev.filter(F.col("event_id") <= 5000).select(F.col("user_id").alias("key"))
+    second = ev.filter(F.col("event_id") > 5000).select(F.col("user_id").alias("key"))
+    return first.intersect(second)
+
+
+SESSION_SQL = """
+WITH e AS (SELECT user_id AS key, ts FROM events),
+m AS (SELECT key, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY key ORDER BY ts)),
+s AS (SELECT key, ts,
+             SUM(new_s) OVER (PARTITION BY key ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT key, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY key, sid
+"""
+
+
+@q("session_window_counts", SESSION_SQL)
+def session_window_counts(spark, sf):
+    """Session windows (5-minute inactivity gap) per user — Spark's
+    native session_window vs a gaps-and-islands SQL oracle."""
+    return (
+        load(spark, sf, "events")
+        .groupBy(
+            F.col("user_id").alias("key"),
+            F.session_window("ts", "5 minutes").alias("win"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select("key", F.col("win.start").alias("session_start"), "n_events")
+    )
+
+
+@q(
     "windowed_event_counts",
     "SELECT date_trunc('hour', ts) AS win_start, event_type, "
     "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2",
