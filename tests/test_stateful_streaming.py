@@ -84,3 +84,46 @@ def test_gate_within_batch_out_of_order(spark, tmp_path):
     got = sorted(r["lsn"] for r in spark.sql("SELECT lsn FROM gate_out2").collect())
     # ascending-ord gate: 4 forwarded (first), then 9, then 11; dup 9 dropped
     assert got == [4, 9, 11]
+
+
+def test_gate_state_survives_restart(spark, tmp_path):
+    """The per-key max-ord state lives in the streaming state store:
+    a NEW query run from the same checkpoint must still suppress
+    events older than what the previous run forwarded. (File sink —
+    the memory sink does not support checkpoint recovery.)"""
+    from canal_spark.streaming.stateful import OUTPUT_SCHEMA, stateful_lww_gate
+
+    src = str(tmp_path / "stream_src3")
+    ckpt = str(tmp_path / "ckpt3")
+    out = str(tmp_path / "gate_out3")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(OUTPUT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stateful_lww_gate(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["doc_id"], r["lsn"])
+            for r in spark.read.schema(OUTPUT_SCHEMA).parquet(out).collect()
+        }
+
+    _write_batch(spark, f"{src}/b0.parquet", [_row("a", 50), _row("b", 10)])
+    assert run_once() == {("a", 50), ("b", 10)}
+
+    # restart: new file with one stale (a@20 < a@50) and one fresh event
+    time.sleep(1.1)
+    _write_batch(spark, f"{src}/b1.parquet", [_row("a", 20), _row("b", 99)])
+    got = run_once()
+    # a@20 suppressed by state recovered from the checkpoint
+    assert got == {("a", 50), ("b", 10), ("b", 99)}
