@@ -226,26 +226,42 @@ class CdcEngine:
             lineage_box=box,
         )
 
+    @staticmethod
+    def _discard(prep: "_Prepared | None") -> None:
+        """Release a prepared epoch's resources without executing it
+        (failure paths): drop the cached winners and drain the lineage
+        collect thread so no Spark jobs/cached partitions leak."""
+        if prep is None:
+            return
+        try:
+            prep.winners.unpersist()
+        finally:
+            prep.lineage_thread.join()
+
     def _execute(self, prep: "_Prepared") -> EpochResult:
         """The write job + atomic commit for a prepared epoch."""
         t0 = time.monotonic()
-        delta = lww_collapse(
-            prep.apply_df,
-            key="doc_id",
-            payload_cols=PAYLOAD_COLS,
-            broadcast_winners=prep.small,
-            with_seq=True,
-            winners=prep.winners,
-        )
-        rewritten = merge_epoch(
-            self.spark,
-            self.table,
-            delta,
-            prep.epoch,
-            broadcast_delta=prep.small,
-            key_frame=prep.winners,
-            affected=prep.affected,
-        )
+        try:
+            delta = lww_collapse(
+                prep.apply_df,
+                key="doc_id",
+                payload_cols=PAYLOAD_COLS,
+                broadcast_winners=prep.small,
+                with_seq=True,
+                winners=prep.winners,
+            )
+            rewritten = merge_epoch(
+                self.spark,
+                self.table,
+                delta,
+                prep.epoch,
+                broadcast_delta=prep.small,
+                key_frame=prep.winners,
+                affected=prep.affected,
+            )
+        except BaseException:
+            self._discard(prep)
+            raise
         prep.winners.unpersist()
         prep.lineage_thread.join()
         box = prep.lineage_box
@@ -315,7 +331,15 @@ class CdcEngine:
 
             th = threading.Thread(target=_prepare_next, daemon=True)
             th.start()
-            self._execute(prep)
+            try:
+                self._execute(prep)
+            except BaseException:
+                # don't abandon the in-flight preparation: wait for it,
+                # then release its cached winners + lineage thread so a
+                # failed run leaks nothing into the SparkSession
+                th.join()
+                self._discard(nxt.get("prep"))
+                raise
             th.join()
             if "err" in nxt:
                 raise nxt["err"]

@@ -43,19 +43,29 @@ def asof_join(
     rows between unbounded preceding and current. Right rows sort
     BEFORE left rows at equal timestamps (kind 0 < 1) to honour the
     inclusive `>=` bound. One shuffle on `key`; no range join.
+
+    All value columns travel as ONE struct through a single
+    last(ignorenulls=True), so the attached values all come from the
+    same (latest) right row — including its NULL fields. A per-column
+    last() would instead carry each column forward independently,
+    resurrecting older non-null values whenever the true as-of row has
+    a NULL (not ASOF semantics).
     """
+    from pyspark.sql import types as T
+
+    vals_type = T.StructType([right.schema[c] for c in value_cols])
     r = right.select(
         F.col(key),
         F.col(time_col),
         F.lit(0).alias("_kind"),
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vals"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
     l_ = left.select(
         F.col(key),
         F.col(time_col),
         F.lit(1).alias("_kind"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(vals_type).alias("_vals"),
         *[F.col(c) for c in left_cols],
     )
     w = (
@@ -63,10 +73,13 @@ def asof_join(
         .orderBy(F.col(time_col).asc(), F.col("_kind").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    unioned = r.unionByName(l_)
-    for c in value_cols:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return unioned.filter(F.col("_kind") == 1).select(key, time_col, *left_cols, *value_cols)
+    unioned = r.unionByName(l_).withColumn("_vals", F.last("_vals", ignorenulls=True).over(w))
+    return unioned.filter(F.col("_kind") == 1).select(
+        key,
+        time_col,
+        *left_cols,
+        *[F.col(f"_vals.{c}").alias(c) for c in value_cols],
+    )
 
 
 def range_join_count(

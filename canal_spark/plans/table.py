@@ -289,7 +289,12 @@ class SnapshotTable:
         for e in range(0, keep_from):
             p = self._snap_path(e)
             if os.path.exists(p):
-                archived.extend(self.snapshot(e)["lineage"])
+                s = self.snapshot(e)
+                # an expired snapshot may itself carry the archive of an
+                # EARLIER expiration cycle — fold that in first, else the
+                # second cycle silently drops the first cycle's totals
+                archived.extend(s.get("lineage_archive", []))
+                archived.extend(s["lineage"])
                 expired.append(e)
         if not expired:
             return []
@@ -311,7 +316,9 @@ class SnapshotTable:
             os.remove(self._snap_path(e))
         return expired
 
-    def compact_tombstones(self, spark: SparkSession) -> int:
+    def compact_tombstones(
+        self, spark: SparkSession, source_partitions: list[int] | None = None
+    ) -> int:
         """Physically drop tombstone rows that can never be outvoted:
         a DELETE marker is kept as a row so a late LOWER-`_seq` update
         cannot resurrect the key (merge.py), but once every source
@@ -326,6 +333,15 @@ class SnapshotTable:
         pack(committed_lsn + 1, 0) — any future event in partition p
         has lsn > committed_lsn(p), hence packed order >= that bound.
 
+        `source_partitions` must be the FULL set of source partitions
+        that can emit events (e.g. `CdcEngine.extents.keys()`). A
+        partition in that set with no committed checkpoint counts as
+        checkpoint -1, making the bound 0 — nothing compacts until
+        every source partition has committed at least once. When None,
+        the bound falls back to the checkpointed partitions only, which
+        is safe ONLY if no further source partition can ever appear in
+        the changelog.
+
         Rewrites only buckets that contain collectable tombstones, as
         one new commit epoch (snapshot isolation preserved; time travel
         to earlier snapshots still sees the tombstones). Returns the
@@ -334,9 +350,14 @@ class SnapshotTable:
 
         snap = self.snapshot()
         ckpts = self.checkpoints()
+        if source_partitions is not None:
+            for p in source_partitions:
+                ckpts.setdefault(int(p), -1)
         if not ckpts:
             return 0
         bound = min((lsn + 1) << SP_BITS for lsn in ckpts.values())
+        if bound <= 0:
+            return 0
         state = self.read(spark, internal=True)
         dead = state.filter(F.col("_tombstone") & (F.col("_seq") < bound))
         buckets = sorted(
@@ -362,11 +383,21 @@ class SnapshotTable:
         self.commit(epoch, {b: files.get(b, []) for b in buckets}, {}, [])
         return int(n_dead)
 
-    def remove_orphans(self) -> int:
+    def remove_orphans(self, min_age_seconds: float = 0.0) -> int:
         """Delete data files referenced by NO remaining snapshot
         (Iceberg's remove_orphan_files): superseded bucket rewrites
         past the retention window, and leftovers of crashed epochs.
-        Safe to run any time; returns the number of files removed."""
+
+        `min_age_seconds` is the in-flight guard (Iceberg's
+        `older_than`): files younger than the cutoff are spared, so
+        data being written by a not-yet-committed epoch (crash-model
+        window, or the pipelined run loop) is never deleted mid-write.
+        With the default 0 the sweep takes everything unreferenced —
+        only safe when no engine is concurrently writing this table.
+        Returns the number of files removed."""
+        import time as _time
+
+        cutoff = _time.time() - min_age_seconds
         referenced: set[str] = set()
         for fn in os.listdir(self.meta_dir):
             if not _SNAP_RE.match(fn):
@@ -381,7 +412,11 @@ class SnapshotTable:
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
-                if fn.endswith(".parquet") and rel not in referenced:
+                if (
+                    fn.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(full) <= cutoff
+                ):
                     os.remove(full)
                     removed += 1
             if not os.listdir(dirpath):
@@ -392,7 +427,10 @@ class SnapshotTable:
             for dirpath, _dirnames, filenames in os.walk(pend_root, topdown=False):
                 for fn in filenames:
                     full = os.path.join(dirpath, fn)
-                    if os.path.relpath(full, self.root) not in referenced:
+                    if (
+                        os.path.relpath(full, self.root) not in referenced
+                        and os.path.getmtime(full) <= cutoff
+                    ):
                         os.remove(full)
                         removed += 1
                 if not os.listdir(dirpath):

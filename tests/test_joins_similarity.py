@@ -109,3 +109,23 @@ def test_ivf_full_probe_equals_brute_force(spark):
         "query_id", "neighbor_id", "rank"
     )
     assert full.exceptAll(exact).count() == 0 and exact.exceptAll(full).count() == 0
+
+
+def test_asof_join_nullable_right_values_come_from_one_row(spark):
+    """The as-of row's NULL fields must be attached as NULL — a
+    per-column carry-forward would resurrect older non-null values and
+    mix columns from different right rows."""
+    left = spark.createDataFrame([("k", 3, 100)], "key string, ts int, lid int")
+    right = spark.createDataFrame(
+        [("k", 1, 10, "a"), ("k", 2, None, "b")],
+        "key string, ts int, v1 int, v2 string",
+    )
+    got = asof_join(
+        left, right, key="key", time_col="ts", value_cols=["v1", "v2"], left_cols=["lid"]
+    ).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["v2"] == "b" and row["v1"] is None, (
+        "as-of values must all come from the latest right row (ts=2), "
+        f"got v1={row['v1']} v2={row['v2']}"
+    )

@@ -155,3 +155,57 @@ def test_tombstone_compaction_mid_replay_keeps_live_tombstones(spark, changelog_
     from tests.oracle_replay import replay
 
     assert_state_equals_oracle(SnapshotTable(root).read(spark), replay(changelog_dir))
+
+
+def test_lineage_archive_survives_second_expiration(spark, changelog_dir, tmp_path):
+    """Two expiration cycles: the first cycle's archive rides on a
+    snapshot that the second cycle expires — its totals must be folded
+    forward, not dropped (per-partition totals stay auditable)."""
+    root = str(tmp_path / "t6")
+    table = SnapshotTable.create(root, n_buckets=8)
+    eng = CdcEngine(spark, changelog_dir, table, lsn_budget=400)
+    total = 0
+    for _ in range(3):
+        res = eng.run_epoch()
+        total += res.n_events
+    table.expire_snapshots(retain_last=1)
+    for _ in range(2):
+        res = eng.run_epoch()
+        if res is None:
+            break
+        total += res.n_events
+    table.expire_snapshots(retain_last=1)  # expires the archive-holder
+    snap = table.snapshot()
+    archived = sum(r["n_events"] for r in snap.get("lineage_archive", []))
+    kept = int(table.lineage_df(spark).toPandas().n_events.sum() or 0)
+    assert archived + kept == total
+
+
+def test_compact_waits_for_unchecked_partition(spark, changelog_dir, oracle_state, tmp_path):
+    """A source partition with no committed checkpoint forces the
+    safety bound to 0: nothing compacts until it commits (a late
+    lower-_seq event from it could otherwise resurrect a deleted key)."""
+    import pyspark.sql.functions as F
+
+    table, eng = _replay_many_epochs(spark, changelog_dir, str(tmp_path / "t7"))
+    n_tomb = table.read(spark, internal=True).filter(F.col("_tombstone")).count()
+    assert n_tomb > 0
+    # partition 99 exists "in the changelog" but never committed
+    known = sorted(eng.extents) + [99]
+    assert table.compact_tombstones(spark, source_partitions=known) == 0
+    assert (
+        table.read(spark, internal=True).filter(F.col("_tombstone")).count() == n_tomb
+    )
+    # with the true full partition set, compaction proceeds
+    dropped = table.compact_tombstones(spark, source_partitions=sorted(eng.extents))
+    assert dropped > 0
+    assert_state_equals_oracle(table.read(spark), oracle_state)
+
+
+def test_remove_orphans_age_guard(spark, changelog_dir, tmp_path):
+    """min_age_seconds spares young unreferenced files (the in-flight
+    epoch guard); a zero cutoff sweeps them."""
+    table, _ = _replay_many_epochs(spark, changelog_dir, str(tmp_path / "t8"))
+    table.expire_snapshots(retain_last=1)
+    assert table.remove_orphans(min_age_seconds=3600) == 0
+    assert table.remove_orphans() > 0
