@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "asof_join_last_click",

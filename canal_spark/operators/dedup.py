@@ -112,9 +112,21 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact Jaccard over shingle SETS for the candidate pairs only.
     Intersection via a shingle equi-join (shuffle on shingle hash),
-    set sizes via per-doc distinct counts — no arrays collected."""
+    set sizes via per-doc distinct counts — no arrays collected.
+
+    The exploded-shingle relation is semi-joined to the candidate id
+    set FIRST, so the big per-corpus explode is pruned before any
+    shuffle: at scale the candidate set is a vanishing fraction of the
+    corpus, and shuffling every document's shingles to verify a few
+    pairs would dominate the whole job."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
     ex = (
         shingled.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("sh"))
+        .join(cand_ids, "_id", "left_semi")
         .distinct()
     )
     sizes = ex.groupBy("_id").agg(F.count("*").alias("sz"))
@@ -192,16 +204,104 @@ def simhash_near_pairs(
     )
 
 
-def char_ngram_jaccard_pairs(
+def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: str | None = "lang",
     n: int = 3,
     min_jaccard: float = 0.5,
+    max_df: int = 64,
+    min_shared: int = 3,
 ) -> DataFrame:
-    """n-gram (character) Jaccard near-dup pairs, blocked by a cheap
-    key (e.g. lang) to bound the candidate join."""
+    """Word-n-gram Jaccard near-dup pairs via a document-frequency-capped
+    gram join + exact verify (P4's scale path).
+
+    Candidate generation:
+    1. distinct word n-gram shingles per doc;
+    2. per-gram document frequency; grams with df > `max_df` (corpus
+       boilerplate) or df == 1 (can't witness a pair) are dropped —
+       the self-join on the surviving grams is EXPLICITLY bounded at
+       C(max_df, 2) pairs per gram, so no hot gram can degenerate the
+       join toward all-pairs (the r1 defect);
+    3. pairs must share >= least(min_shared, |A|, |B|) surviving grams.
+       Recall-safe for the threshold: j >= 0.8 forces
+       |A∩B| >= 0.44(|A|+|B|) >= 0.89*min(|A|,|B|), so every true pair
+       clears the floor unless its intersection is made ENTIRELY of
+       dropped boilerplate grams (such boilerplate-only dupes are
+       exact-dedup/minhash territory, documented limitation).
+    4. exact Jaccard over the FULL shingle sets (threshold semantics
+       unchanged by the df cap) via jaccard_verify.
+
+    For char-unit grams over corpora with a tiny gram universe, use
+    char_ngram_jaccard_pairs (MinHash-banded) instead: char grams are
+    near-universal, so a gram-keyed join has no usable df regime.
+
+    The Jaccard is EXACT despite the cap: the intersection is
+    n_shared (capped grams, free from candidate generation) plus a
+    hot-gram completion join restricted to the candidate docs — no
+    full-corpus re-explode in the verify phase."""
+    base = word_shingles(df, text_col=text_col, w=n).select(
+        F.col(id_col).alias("_id"), F.array_distinct("shingles").alias("shingles")
+    )
+    ex = base.select("_id", F.explode("shingles").alias("sh"))
+    dfc = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    # no broadcast hint: the gram-frequency relation is corpus-sized at
+    # scale; the join is keyed on sh (reuses dfc's exchange) and AQE
+    # picks broadcast when it happens to be small
+    ex_df = ex.join(dfc, "sh")
+    exk = ex_df.filter((F.col("df") >= 2) & (F.col("df") <= max_df)).select("_id", "sh")
+    a = exk.select(F.col("_id").alias("id_a"), "sh")
+    b = exk.select(F.col("_id").alias("id_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sizes = ex.groupBy("_id").agg(F.count("*").alias("sz"))
+    cands = (
+        shared.join(sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .filter(
+            F.col("n_shared") >= F.least(F.lit(min_shared), F.col("sz_a"), F.col("sz_b"))
+        )
+    )
+    # exact-intersection completion: shared grams ABOVE the cap, counted
+    # only for candidate docs (semi-join prunes the hot explode first)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_id"))
+        .unionByName(cands.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    hot = (
+        ex_df.filter(F.col("df") > max_df)
+        .select("_id", "sh")
+        .join(cand_ids, "_id", "left_semi")
+    )
+    inter_hot = (
+        cands.select("id_a", "id_b")
+        .join(hot.select(F.col("_id").alias("id_a"), "sh"), "id_a")
+        .join(hot.select(F.col("_id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_hot"))
+    )
+    inter = F.col("n_shared") + F.col("n_hot")
+    return (
+        cands.join(inter_hot, ["id_a", "id_b"], "left")
+        .withColumn("n_hot", F.coalesce(F.col("n_hot"), F.lit(0)))
+        .withColumn(
+            "jaccard",
+            inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def char_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles: array<string>) — distinct character n-grams."""
     # substring with a dynamic start needs expr-form (F.substring start is literal-only)
     grams = F.array_distinct(
         F.expr(
@@ -209,30 +309,37 @@ def char_ngram_jaccard_pairs(
             f" i -> substring({text_col}, i, {n}))"
         )
     )
-    base = df.select(id_col, *( [block_col] if block_col else [] ), grams.alias("shingles"))
-    ex = base.select(
-        F.col(id_col).alias("_id"),
-        *([F.col(block_col).alias("_blk")] if block_col else []),
-        F.explode("shingles").alias("sh"),
-    )
-    sizes = ex.groupBy("_id").agg(F.count("*").alias("sz"))
-    join_keys = ["sh"] + (["_blk"] if block_col else [])
-    a = ex.select(*[F.col(c) for c in (["_blk"] if block_col else [])], F.col("_id").alias("id_a"), "sh")
-    b = ex.select(*[F.col(c) for c in (["_blk"] if block_col else [])], F.col("_id").alias("id_b"), "sh")
-    inter = (
-        a.join(b, join_keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return df.select(id_col, grams.alias("shingles"))
+
+
+def char_ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs: MinHash-banded
+    candidate generation over the char shingles + exact Jaccard verify
+    on the candidates only.
+
+    Candidates deliberately do NOT come from an exploded-gram self-join
+    (the r1 formulation): common 3-grams ("the", "ing") occur in nearly
+    every document of a language, so any per-gram equi-join degenerates
+    toward all-pairs at corpus scale no matter the blocking key. Band
+    signatures collide only for near-identical shingle SETS, so the
+    candidate join stays bounded; `bands`/`num_perm` give
+    P(candidate) = 1-(1-j^r)^b with r = num_perm/bands (r=2, b=8:
+    j=0.8 -> 0.9997, j=0.3 -> 0.53 — and false candidates are removed
+    by the exact verify).
+
+    `block_col` is accepted for API compatibility and ignored: the
+    band key already separates dissimilar documents regardless of
+    language."""
+    base = char_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    sig = minhash_signatures(base, id_col=id_col, num_perm=num_perm)
+    pairs = lsh_candidate_pairs(sig, id_col=id_col, bands=bands)
+    return jaccard_verify(pairs, base, id_col=id_col, min_jaccard=min_jaccard)

@@ -569,13 +569,19 @@ def dedup_minhash_lsh(spark, sf):
 @q("dedup_simhash")  # rows-only
 def dedup_simhash(spark, sf):
     docs = _with_planted_dupes(load(spark, sf, "documents"))
-    return DD.simhash_near_pairs(DD.simhash(docs), max_hamming=3)
+    # radius 4 / 5 blocks: covers the planted near-dupes (one appended
+    # word flips up to 4 bits on short docs); recall asserted in
+    # tests/test_dedup_recall.py
+    return DD.simhash_near_pairs(DD.simhash(docs), max_hamming=4, blocks=5)
 
 
 @q("dedup_ngram_jaccard")  # rows-only
 def dedup_ngram_jaccard(spark, sf):
     docs = _with_planted_dupes(load(spark, sf, "documents"))
-    return DD.char_ngram_jaccard_pairs(docs, block_col="lang", n=3, min_jaccard=0.8)
+    # word-unit n-gram Jaccard: DF-capped gram join (bounded pairs per
+    # gram) + shared-count floor + exact verify — the r1 exploded
+    # char-gram self-join degenerated toward all-pairs at corpus scale
+    return DD.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.8)
 
 
 ANN_SQL = """
