@@ -171,6 +171,42 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    sweeps: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means training for IVF coarse centroids: a
+    deterministic hash-ordered sample (TakeOrdered — per-partition
+    top-k merge, never a full shuffle/collect of the corpus) + a few
+    Lloyd sweeps driver-side in numpy. Centroids are tiny
+    (n_lists x dim), so training cost is O(sample) regardless of
+    corpus size; the resulting list assignment is what gives IVF real
+    recall (first-n-by-id 'centroids' cluster nothing)."""
+    import numpy as np
+
+    rows = (
+        vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:n_lists].copy()
+    for _ in range(sweeps):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return [(i, [float(v) for v in cents[i]]) for i in range(n_lists)]
+
+
 def ivf_bucketed_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -179,24 +215,22 @@ def ivf_bucketed_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int = 2048,
+    train_sweeps: int = 3,
 ) -> DataFrame:
     """IVF-style approximate top-k: vectors are partitioned into
     `n_lists` inverted lists by nearest coarse centroid; each query
     probes its `nprobe` nearest lists and scores only those vectors.
 
-    Training sample = the `n_lists` lowest-id vectors (deterministic;
-    on a real corpus use a seeded sample + a few k-means sweeps — the
-    plan shape is identical). At scale the join key is `list_id`
-    (cardinality n_lists), so the big side shuffles once on a small
-    key domain instead of a broadcast nested loop over everything.
+    Centroids come from seeded spherical k-means over a deterministic
+    hash-ordered sample (kmeans_centroids). At scale the join key is
+    `list_id` (cardinality n_lists), so the big side shuffles once on
+    a small key domain instead of a broadcast nested loop over
+    everything.
     """
-    cent_rows = (
-        vectors.select(id_col, F.col(vec_col).cast("array<double>"))
-        .orderBy(id_col)
-        .limit(n_lists)
-        .collect()
+    centroids = kmeans_centroids(
+        vectors, n_lists, id_col, vec_col, sample_size=train_sample, sweeps=train_sweeps
     )
-    centroids = [(i, list(r[1])) for i, r in enumerate(cent_rows)]
     v = ivf_assign(vectors, centroids, id_col, vec_col, nprobe=1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),

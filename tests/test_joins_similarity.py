@@ -83,6 +83,15 @@ def test_range_join_stays_hash_join(spark):
 
 
 def test_ivf_recall_floor_vs_brute_force(spark):
+    """Recall floor with k-means-trained centroids. Context for the
+    threshold: the synthetic embeddings are isotropic (mean pairwise
+    cos 0.00, within-cluster cos to centroid 0.27), so neighbor mass
+    is nearly uniform across lists and recall is structurally capped
+    near covered-mass (nprobe/n_lists) plus a locality bonus — 0.65 at
+    nprobe=4/8 is the data's ceiling territory, not slack. On
+    clustered real-world embeddings the same training yields far
+    higher recall. (First-n-by-id 'centroids', the r1 stand-in,
+    measured 0.56 at nprobe=3; k-means measures 0.70.)"""
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = {
@@ -91,10 +100,20 @@ def test_ivf_recall_floor_vs_brute_force(spark):
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in SIM.ivf_bucketed_topk(emb, queries, k=5, n_lists=8, nprobe=3).collect()
+        for r in SIM.ivf_bucketed_topk(emb, queries, k=5, n_lists=8, nprobe=4).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+    assert recall >= 0.65, f"IVF recall {recall:.2f} below floor"
+
+
+def test_kmeans_centroids_deterministic_and_normalized(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c1 = SIM.kmeans_centroids(emb, n_lists=4)
+    c2 = SIM.kmeans_centroids(emb, n_lists=4)
+    assert c1 == c2, "training must be a pure function of the data"
+    for _cid, v in c1:
+        norm = sum(x * x for x in v) ** 0.5
+        assert abs(norm - 1.0) < 1e-9
 
 
 def test_ivf_full_probe_equals_brute_force(spark):
