@@ -346,6 +346,34 @@ class CdcEngine:
             prep = nxt.get("prep")
         return self.table.current_epoch() or 0
 
+    # ----------------------------------------------------- subscriptions
+    def subscribe(
+        self,
+        client: str,
+        lsn_budget: int | None = None,
+        source_whitelist: str | None = None,
+        source_blacklist: str | None = None,
+        op_types: tuple[str, ...] | None = None,
+    ):
+        """Register/resume a named read client with its own durable
+        cursor and subscription filter (canal's per-(destination,
+        clientId) meta [C: meta/.../FileMixedMetaManager.java ::
+        #updateCursor] + #subscribe filter). Clients tail the same
+        changelog at independent positions; none touches the table's
+        write checkpoints."""
+        from canal_spark.plans.cursors import ChangelogConsumer, CursorRegistry
+
+        return ChangelogConsumer(
+            self.spark,
+            self.changelog_path,
+            CursorRegistry(self.table.meta_dir),
+            client,
+            lsn_budget=lsn_budget or self.lsn_budget,
+            source_whitelist=source_whitelist,
+            source_blacklist=source_blacklist,
+            op_types=op_types,
+        )
+
     # -------------------------------------------------------- evolution
     def apply_schema_update(self, kind: str, payload: dict) -> int:
         """Apply one DDL event as its OWN commit epoch (ddlIsolation —

@@ -504,6 +504,42 @@ def pandas_udf_token_transform(spark, sf):
     )
 
 
+CURSOR_SQL = (
+    f"WITH {MAPPED.strip()}, "
+    "ext AS (SELECT source_partition, MAX(lsn) AS ext FROM mapped GROUP BY source_partition) "
+    "SELECT client, CAST(source_partition AS BIGINT) AS source_partition, "
+    "CAST(LEAST(-1 + n_acks * budget, ext) AS BIGINT) AS acked_lsn "
+    "FROM ext CROSS JOIN (VALUES ('c1', 2, 2000), ('c2', 1, 5000)) "
+    "AS clients(client, n_acks, budget)"
+)
+
+
+@q("client_cursor_state", CURSOR_SQL)
+def client_cursor_state(spark, sf):
+    """Two named clients tail the same changelog at independent
+    positions (canal's per-clientId cursor); returns the registry's
+    inspection surface. Oracle: acked lsn after k acks of budget B is
+    min(-1 + k*B, extent) per partition — acks cover the lsn RANGE, so
+    the cursor is a pure function of (k, B, extents)."""
+    import tempfile
+
+    from canal_spark.plans.cursors import ChangelogConsumer, CursorRegistry
+
+    tmp = tempfile.mkdtemp(prefix="canal_cursor_")
+    events_as_changelog(spark, sf).write.mode("overwrite").parquet(f"{tmp}/log")
+    reg = CursorRegistry(f"{tmp}/meta")
+    c1 = ChangelogConsumer(spark, f"{tmp}/log", reg, "c1", lsn_budget=2000)
+    c2 = ChangelogConsumer(spark, f"{tmp}/log", reg, "c2", lsn_budget=5000)
+    for _ in range(2):
+        bid, _df = c1.get()
+        c1.ack(bid)
+    bid, _df = c2.get()
+    c2.ack(bid)
+    return spark.createDataFrame(
+        reg.state_rows(), "client string, source_partition bigint, acked_lsn bigint"
+    )
+
+
 # ======================================================================
 # 2.9 exactly-once (rows-only: not SQL-expressible)
 # ======================================================================
