@@ -78,6 +78,7 @@ class CdcEngine:
         source_whitelist: str | None = None,
         source_blacklist: str | None = None,
         broadcast_threshold_rows: int = 4_000_000,
+        ddl_events_path: str | None = None,
     ):
         self.spark = spark
         self.changelog_path = changelog_path
@@ -85,6 +86,13 @@ class CdcEngine:
         self.lsn_budget = lsn_budget
         self.source_whitelist = source_whitelist
         self.source_blacklist = source_blacklist
+        #: optional DDL side-stream (FIXTURES.md A3): QUERY-event DDLs
+        #: parsed out-of-band, applied in-position during replay —
+        #: canal derives these by parsing binlog QUERY events
+        #: [C: parse/.../ddl/DruidDdlParser.java;
+        #:  parse/.../tsdb/DatabaseTableMeta.java :: #apply]
+        self.ddl_events_path = ddl_events_path
+        self._ddl_cache: list[dict] | None = None
         # the winner/delta joins broadcast when the epoch's distinct-key
         # count is modest (no shuffle OR sort of the wide event stream —
         # measured much faster), and fall back to shuffled hash joins
@@ -121,14 +129,24 @@ class CdcEngine:
         return df
 
     # ------------------------------------------------------------- run
-    def _prepare(self, ckpts: dict[int, int], epoch: int) -> "_Prepared | None":
+    def _prepare(
+        self,
+        ckpts: dict[int, int],
+        epoch: int,
+        extents: dict[int, int] | None = None,
+    ) -> "_Prepared | None":
         """Everything BEFORE the write job: plan bounds, find committed
         watermarks, launch the lineage collect (background thread), and
         materialize the cached winners. Reads only the immutable
         changelog — never the table — so it is safe to run concurrently
         with the previous epoch's write (pipelining, see
-        run_to_completion)."""
-        bounds = plan_epoch(ckpts, self.extents, self.lsn_budget)
+        run_to_completion).
+
+        `extents` overrides the true partition extents (the DDL bridge
+        clamps a partition at the next pending DDL position so no event
+        at or past the DDL is applied under the old schema)."""
+        extents = self.extents if extents is None else extents
+        bounds = plan_epoch(ckpts, extents, self.lsn_budget)
         if bounds is None:
             return None
 
@@ -143,12 +161,12 @@ class CdcEngine:
             sl = self._slice(bounds)
             wms = committed_watermarks(sl, floors)
             progressed = any(wms[p] > floors[p] for p in bounds)
-            at_extent = all(t >= self.extents[p] for p, (_, t) in bounds.items())
+            at_extent = all(t >= extents[p] for p, (_, t) in bounds.items())
             if progressed or at_extent:
                 break
             # a tx larger than the budget: grow the slice (deterministic)
             budget *= 2
-            bounds = {p: (f, min(f + budget, self.extents[p])) for p, (f, _) in bounds.items()}
+            bounds = {p: (f, min(f + budget, extents[p])) for p, (f, _) in bounds.items()}
 
         if not any(wms[p] > floors[p] for p in bounds):
             # only a trailing incomplete tx remains anywhere -> done
@@ -292,13 +310,107 @@ class CdcEngine:
         committed = self.table.commit(epoch, rewritten, wms, lineage)
         return EpochResult(epoch, committed, n_events, wms)
 
+    # ------------------------------------------------------ ddl stream
+    def _ddl_events(self) -> list[dict]:
+        """The DDL side-stream, collected once, in global apply order
+        (lsn, source_partition). Metadata-scale: DDLs are rare events."""
+        if self._ddl_cache is None:
+            rows = (
+                self.spark.read.parquet(self.ddl_events_path)
+                .select("lsn", "source_partition", "kind", "payload")
+                .collect()
+            )
+            self._ddl_cache = sorted(
+                (
+                    {
+                        "lsn": int(r["lsn"]),
+                        "source_partition": int(r["source_partition"]),
+                        "kind": r["kind"],
+                        "payload": r["payload"],
+                    }
+                    for r in rows
+                ),
+                key=lambda d: (d["lsn"], d["source_partition"]),
+            )
+        return self._ddl_cache
+
+    def _ddl_watermark(self) -> tuple[int, int]:
+        """Position of the last applied DDL, from the durable snapshot
+        meta (crash/resume never re-applies a DDL)."""
+        wm = self.table.snapshot().get("meta", {}).get("ddl_wm")
+        return (int(wm[0]), int(wm[1])) if wm else (-1, -1)
+
+    def _pending_ddls(self) -> list[dict]:
+        if not self.ddl_events_path:
+            return []
+        wm = self._ddl_watermark()
+        return [
+            d
+            for d in self._ddl_events()
+            if (d["lsn"], d["source_partition"]) > wm
+        ]
+
+    def _ddl_clamped_extents(self, pending: list[dict]) -> dict[int, int]:
+        """Extents with each partition clamped just below its earliest
+        pending DDL: no event at or past a DDL position is applied
+        until the schema update has committed (ddlIsolation, in
+        stream order)."""
+        ext = dict(self.extents)
+        for d in pending:
+            p = d["source_partition"]
+            if p in ext:
+                ext[p] = min(ext[p], d["lsn"] - 1)
+        return ext
+
+    def _ddl_ready(self, d: dict, ckpts: dict[int, int]) -> bool:
+        """A DDL at (p, L) applies once partition p's checkpoint covers
+        everything before L (or the partition's whole DML extent, when
+        that ends before L)."""
+        p = d["source_partition"]
+        target = min(d["lsn"] - 1, self.extents.get(p, -1))
+        return ckpts.get(p, -1) >= target
+
+    def apply_ddl_event(self, d: dict) -> int:
+        """Apply one A3-shape DDL event as its own commit epoch and
+        durably advance the DDL watermark (atomic with the schema
+        change — a crash between never replays it)."""
+        import json as _json
+
+        payload = _json.loads(d["payload"]) if isinstance(d["payload"], str) else d["payload"]
+        return self.apply_schema_update(
+            d["kind"],
+            payload,
+            meta={"ddl_wm": [d["lsn"], d["source_partition"]]},
+        )
+
     def run_epoch(self) -> EpochResult | None:
         """Run the next epoch. Returns None when the changelog is fully
-        consumed (no committable events remain past any checkpoint)."""
+        consumed (no committable events remain past any checkpoint).
+
+        With a DDL side-stream configured, a ready DDL (its partition
+        drained up to the DDL position) is applied as its OWN epoch
+        before any further DML; DML epochs never cross a pending DDL
+        position in the DDL's partition."""
+        ckpts = self.table.checkpoints()
+        pending = self._pending_ddls()
+        if pending and self._ddl_ready(pending[0], ckpts):
+            e = self.apply_ddl_event(pending[0])
+            return EpochResult(e, True, 0, {})
         prep = self._prepare(
-            self.table.checkpoints(), (self.table.current_epoch() or 0) + 1
+            ckpts,
+            (self.table.current_epoch() or 0) + 1,
+            extents=self._ddl_clamped_extents(pending) if pending else None,
         )
         if prep is None:
+            if pending:
+                d = pending[0]
+                raise RuntimeError(
+                    "DDL at (lsn={lsn}, partition={sp}) is unreachable: no "
+                    "committable DML remains below it (a transaction "
+                    "straddling a DDL position is invalid input)".format(
+                        lsn=d["lsn"], sp=d["source_partition"]
+                    )
+                )
             return None
         return self._execute(prep)
 
@@ -312,8 +424,19 @@ class CdcEngine:
         e's driver-serial windows (planning, broadcast build, commit).
         Commits remain strictly sequential; a crash leaves the same
         states as the unpipelined loop (preparation only READS the
-        immutable changelog)."""
+        immutable changelog).
+
+        With a DDL side-stream, the loop runs unpipelined: a DDL epoch
+        may slot in between any two DML epochs, so epoch e+1's number
+        and clamps are not known before e commits. DDL workloads are
+        rare; simplicity wins over overlap here."""
         import threading
+
+        if self.ddl_events_path:
+            for _ in range(max_epochs):
+                if self.run_epoch() is None:
+                    break
+            return self.table.current_epoch() or 0
 
         prep = self._prepare(
             self.table.checkpoints(), (self.table.current_epoch() or 0) + 1
@@ -375,7 +498,7 @@ class CdcEngine:
         )
 
     # -------------------------------------------------------- evolution
-    def apply_schema_update(self, kind: str, payload: dict) -> int:
+    def apply_schema_update(self, kind: str, payload: dict, meta: dict | None = None) -> int:
         """Apply one DDL event as its OWN commit epoch (ddlIsolation —
         canal isolates DDL from surrounding DML batches). Metadata-only:
         no data files are rewritten (field-id mapping at read time).
@@ -403,6 +526,7 @@ class CdcEngine:
             checkpoints={},
             lineage=[],
             schema_update={"ver": snap["schema_ver"] + 1, "fields": fields},
+            meta=meta,
         )
         return epoch
 

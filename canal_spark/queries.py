@@ -1035,25 +1035,43 @@ def stateful_stream_gate(spark, sf):
 
 @q("schema_evolution_replay")  # rows-only: DDL protocol, not SQL-expressible
 def schema_evolution_replay(spark, sf):
-    """Mini end-to-end: replay, then ADD_COLUMN + RENAME_COLUMN +
-    WIDEN_TYPE as isolated DDL epochs, then replay more DML. Returns
-    one evidence row; golden coverage in tests/test_schema_evolution.py."""
+    """Mini end-to-end over the DDL-from-stream bridge: a single
+    interleaved DML+DDL log (ADD_COLUMN + RENAME_COLUMN + WIDEN_TYPE
+    planted at committed-tx boundaries) replayed via run_to_completion;
+    each DDL applies in position as its own epoch. Returns one evidence
+    row; golden coverage in tests/test_ddl_stream.py."""
     import tempfile
+
+    import pyarrow.parquet as pq_
 
     from canal_spark.engine import CdcEngine
     from canal_spark.plans.table import SnapshotTable
-    from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+    from canal_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+        generate_ddl_events,
+    )
 
     tmp = tempfile.mkdtemp(prefix="canal_ddl_")
     log = generate_changelog(
         f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
     )
+    pdf = pq_.read_table(log).to_pandas()
+    b0 = sorted(pdf[(pdf.source_partition == 0) & pdf.tx_commit].lsn)
+    b1 = sorted(pdf[(pdf.source_partition == 1) & pdf.tx_commit].lsn)
+    ddl_path = generate_ddl_events(
+        f"{tmp}/ddl",
+        [
+            {"lsn": int(b0[len(b0) // 3]) + 1, "source_partition": 0,
+             "kind": "ADD_COLUMN", "payload": {"name": "quality", "type": "double"}},
+            {"lsn": int(b1[len(b1) // 2]) + 1, "source_partition": 1,
+             "kind": "RENAME_COLUMN", "payload": {"from": "source", "to": "origin"}},
+            {"lsn": int(b0[2 * len(b0) // 3]) + 1, "source_partition": 0,
+             "kind": "WIDEN_TYPE", "payload": {"name": "n_tok", "to": "bigint"}},
+        ],
+    )
     table = SnapshotTable.create(f"{tmp}/table", n_buckets=4)
-    eng = CdcEngine(spark, log, table, lsn_budget=1_000)
-    eng.run_epoch()
-    eng.apply_schema_update("ADD_COLUMN", {"name": "quality", "type": "double"})
-    eng.apply_schema_update("RENAME_COLUMN", {"from": "source", "to": "origin"})
-    eng.apply_schema_update("WIDEN_TYPE", {"name": "n_tok", "to": "bigint"})
+    eng = CdcEngine(spark, log, table, lsn_budget=1_000, ddl_events_path=ddl_path)
     eng.run_to_completion()
     snap = table.snapshot()
     fields = {f["name"]: f["type"] for f in snap["schemas"][str(snap["schema_ver"])]}

@@ -193,6 +193,44 @@ def generate_changelog(out_dir: str, spec: ChangelogSpec = ChangelogSpec()) -> s
     return out_dir
 
 
+#: FIXTURES.md A3 — the DDL side-stream schema
+DDL_EVENTS_SCHEMA = pa.schema(
+    [
+        pa.field("lsn", pa.int64()),
+        pa.field("source_partition", pa.int32()),
+        pa.field("kind", pa.string()),
+        pa.field("payload", pa.string()),
+        pa.field("schema_ver", pa.int32()),
+    ]
+)
+
+
+def generate_ddl_events(out_dir: str, ddls: list[dict]) -> str:
+    """Write a ddl_events table (FIXTURES.md A3). Each dict:
+    {lsn, source_partition, kind, payload(dict|str)[, schema_ver]}.
+    The canal analog is the QUERY-event DDL sub-stream the parser
+    extracts from the binlog [C: parse/.../ddl/DruidDdlParser.java]."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    ordered = sorted(ddls, key=lambda d: (int(d["lsn"]), int(d["source_partition"])))
+    t = pa.Table.from_pydict(
+        {
+            "lsn": [int(d["lsn"]) for d in ordered],
+            "source_partition": [int(d["source_partition"]) for d in ordered],
+            "kind": [d["kind"] for d in ordered],
+            "payload": [
+                d["payload"] if isinstance(d["payload"], str) else json.dumps(d["payload"])
+                for d in ordered
+            ],
+            "schema_ver": [int(d.get("schema_ver", i + 2)) for i, d in enumerate(ordered)],
+        },
+        schema=DDL_EVENTS_SCHEMA,
+    )
+    pq.write_table(t, os.path.join(out_dir, "ddl-events.parquet"))
+    return out_dir
+
+
 def read_changelog(spark, path: str):
     """Changelog scan — plain parquet read; epoch slicing pushes lsn/
     source_partition predicates to row-group pruning."""
