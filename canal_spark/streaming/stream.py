@@ -79,9 +79,14 @@ class StreamingUpsert:
             if wm_map is not None
             else inp
         )
-        # NOT inside the epoch data dir — merge_epoch overwrites that dir
+        # NOT inside the epoch data dir — merge_epoch overwrites that dir.
+        # Partitioned by source stream (not coalesce(1)): a burst of
+        # incomplete transactions writes in parallel, one task per
+        # source partition (AQE merges the usual near-empty tail).
         pending_dir = os.path.join(self.table.root, "pending", f"epoch={epoch}")
-        held.coalesce(1).write.mode("overwrite").parquet(pending_dir)
+        held.repartition(F.col("source_partition")).write.mode("overwrite").parquet(
+            pending_dir
+        )
         pending_files = [
             os.path.join(pending_dir, f)
             for f in os.listdir(pending_dir)
