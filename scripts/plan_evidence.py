@@ -35,6 +35,18 @@ CHECKS = [
     # the projection must collapse into the scan: ReadSchema carries
     # only the kept columns; the wide `text` column is never read
     ("project_field_filter", ["ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"], ["text:string"]),
+    # dedup/ANN scale paths: candidates must come from equi-keyed joins
+    # (bands / blocks / df-capped grams / LSH buckets / IVF lists) —
+    # never a nested loop or cartesian over the corpus. (ann_cosine_topk
+    # is excluded by design: the brute-force baseline IS a broadcast
+    # nested loop of a tiny query set, documented in similarity.py.)
+    ("dedup_minhash_lsh", ["HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    ("dedup_simhash", ["HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    ("dedup_ngram_jaccard", ["HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    ("ann_lsh_topk", [], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    ("ann_ivf_topk", [], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # MQ JSON edge: explicit-schema from_json/to_json, JVM-only
+    ("flatmessage_roundtrip", ["from_json"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
 ]
 
 
