@@ -79,6 +79,7 @@ class CdcEngine:
         source_blacklist: str | None = None,
         broadcast_threshold_rows: int = 4_000_000,
         ddl_events_path: str | None = None,
+        xa_mode: bool = False,
     ):
         self.spark = spark
         self.changelog_path = changelog_path
@@ -93,6 +94,11 @@ class CdcEngine:
         #:  parse/.../tsdb/DatabaseTableMeta.java :: #apply]
         self.ddl_events_path = ddl_events_path
         self._ddl_cache: list[dict] | None = None
+        #: XA-aware replay: transactions terminated by XAROLLBACK are
+        #: discarded before apply/lineage (txn.drop_rolled_back). Off by
+        #: default — non-XA logs skip the extra marker scan, matching
+        #: canal's opt-in XA parsing.
+        self.xa_mode = xa_mode
         # the winner/delta joins broadcast when the epoch's distinct-key
         # count is modest (no shuffle OR sort of the wide event stream —
         # measured much faster), and fall back to shuffled hash joins
@@ -172,7 +178,12 @@ class CdcEngine:
             # only a trailing incomplete tx remains anywhere -> done
             return None
 
-        apply_df = filters.op_filter(tx_barrier(sl, wms))
+        complete = tx_barrier(sl, wms)
+        if self.xa_mode:
+            from canal_spark.operators.txn import drop_rolled_back
+
+            complete = drop_rolled_back(complete)
+        apply_df = filters.op_filter(complete)
         # per-partition lineage metrics in one NARROW scan (no HLL: an
         # approx_count_distinct over the key strings measurably
         # dominated this pass; key cardinality now comes exact and free

@@ -38,6 +38,26 @@ def committed_watermarks(slice_df: DataFrame, floors: dict[int, int]) -> dict[in
     return wms
 
 
+def drop_rolled_back(df: DataFrame) -> DataFrame:
+    """XA rollback semantics: a transaction terminated by an
+    `XAROLLBACK` marker is discarded wholesale — its row events must
+    never reach the apply path, while the marker itself carries
+    `tx_commit` so the watermark (and hence the cursor) advances past
+    the aborted transaction. Canal analog: XACOMMIT/XAROLLBACK entry
+    types [C: protocol/.../EntryProtocol.proto :: EntryType.TRANSACTION
+    END vs XA records]; GTID marker rows need no handling here — like
+    heartbeats they are positional metadata the op filter drops.
+
+    Scale: rollbacks are rare, so the marker set is tiny and AQE plans
+    the anti-join as a broadcast — no shuffle of the event stream."""
+    rb = (
+        df.filter(F.col("op") == "XAROLLBACK")
+        .select("source_partition", "tx_id")
+        .distinct()
+    )
+    return df.join(rb, ["source_partition", "tx_id"], "left_anti")
+
+
 def tx_barrier(slice_df: DataFrame, watermarks: dict[int, int]) -> DataFrame:
     """Keep only events at or below their partition's committed
     watermark (complete transactions)."""

@@ -540,6 +540,74 @@ def client_cursor_state(spark, sf):
     )
 
 
+XA_SQL = (
+    "SELECT doc_id, n_tok, tok_sum FROM (VALUES "
+    "('a', 2, 3), ('b', 2, 9), ('c', 1, 10), ('d', 2, 23)"
+    ") AS t(doc_id, n_tok, tok_sum)"
+)
+
+
+@q("xa_rollback_replay", XA_SQL)
+def xa_rollback_replay(spark, sf):
+    """XA semantics end-to-end: a fixed mini-log where one tx is
+    XAROLLBACK-terminated (its INSERT/UPDATE discarded), one aborted
+    DELETE must not kill its key, GTID markers advance the cursor.
+    The oracle is the hand-derivable final state — the engine has to
+    COMPUTE it through the barrier + rollback + LWW + merge path."""
+    import tempfile
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sources.changelog import SCHEMA as CH_SCHEMA
+
+    ts0 = 1_767_225_600_000_000
+
+    def row(op, doc, lsn, p, tx, commit, toks):
+        return {
+            "op": op, "doc_id": doc, "lsn": lsn, "source_partition": p,
+            "tx_id": p * 1_000_000_000 + tx, "tx_commit": commit,
+            "ts": ts0 + lsn * 1000, "tokens": toks,
+            "n_tok": None if toks is None else len(toks),
+            "source": "src0", "schema_ver": 1,
+        }
+
+    parts = {
+        0: [
+            row("INSERT", "a", 1, 0, 0, False, [1, 2]),
+            row("INSERT", "b", 2, 0, 0, True, [3]),
+            row("GTID", "", 3, 0, 1, True, None),
+            row("INSERT", "x", 4, 0, 2, False, [9, 9]),
+            row("UPDATE", "a", 5, 0, 2, False, [8, 8, 8]),
+            row("XAROLLBACK", "", 6, 0, 2, True, None),
+            row("UPDATE", "b", 7, 0, 3, True, [4, 5]),
+        ],
+        1: [
+            row("INSERT", "c", 1, 1, 0, True, [10]),
+            row("DELETE", "c", 2, 1, 1, False, None),
+            row("XAROLLBACK", "", 3, 1, 1, True, None),
+            row("INSERT", "d", 4, 1, 2, True, [11, 12]),
+        ],
+    }
+    tmp = tempfile.mkdtemp(prefix="canal_xa_")
+    import os as os_
+
+    os_.makedirs(f"{tmp}/log", exist_ok=True)
+    for p, rows in parts.items():
+        cols = {k: [r[k] for r in rows] for k in rows[0]}
+        cols["ts"] = pa_.array(cols["ts"], type=pa_.timestamp("us"))
+        pq_.write_table(pa_.table(cols, schema=CH_SCHEMA), f"{tmp}/log/part-p{p:04d}.parquet")
+    table = SnapshotTable.create(f"{tmp}/table", n_buckets=2)
+    CdcEngine(spark, f"{tmp}/log", table, lsn_budget=10**9, xa_mode=True).run_to_completion()
+    return table.read(spark).select(
+        "doc_id",
+        "n_tok",
+        F.aggregate("tokens", F.lit(0), lambda a, x: a + x).alias("tok_sum"),
+    )
+
+
 # ======================================================================
 # 2.9 exactly-once (rows-only: not SQL-expressible)
 # ======================================================================

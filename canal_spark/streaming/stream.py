@@ -39,9 +39,10 @@ PAYLOAD_COLS = ("op", "tokens", "n_tok", "source")
 
 
 class StreamingUpsert:
-    def __init__(self, spark: SparkSession, table: SnapshotTable):
+    def __init__(self, spark: SparkSession, table: SnapshotTable, xa_mode: bool = False):
         self.spark = spark
         self.table = table
+        self.xa_mode = xa_mode
 
     # ------------------------------------------------------------ batch
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
@@ -70,7 +71,12 @@ class StreamingUpsert:
             )
 
         wms = committed_watermarks(inp, floors=ckpts)
-        apply_df = filters.op_filter(tx_barrier(inp, wms))
+        complete = tx_barrier(inp, wms)
+        if self.xa_mode:
+            from canal_spark.operators.txn import drop_rolled_back
+
+            complete = drop_rolled_back(complete)
+        apply_df = filters.op_filter(complete)
 
         # durable pending store: events past their partition's watermark
         wm_map = F.create_map(*[F.lit(x) for kv in wms.items() for x in kv]) if wms else None

@@ -19,9 +19,11 @@ def replay(changelog_dir: str) -> pd.DataFrame:
     sorted by doc_id."""
     df = pq.read_table(changelog_dir).to_pandas()
 
-    # only complete (committed) transactions are ever applied
+    # only complete (committed) transactions are ever applied; a tx
+    # terminated by XAROLLBACK is discarded wholesale
     committed = set(df.loc[df.tx_commit, "tx_id"])
-    df = df[df.tx_id.isin(committed)]
+    rolled_back = set(df.loc[df.op == "XAROLLBACK", "tx_id"])
+    df = df[df.tx_id.isin(committed - rolled_back)]
     df = df[df.op.isin(["INSERT", "UPDATE", "DELETE"])]
 
     # global deterministic order; last writer wins
