@@ -480,6 +480,16 @@ class CdcEngine:
             prep = nxt.get("prep")
         return self.table.current_epoch() or 0
 
+    # ------------------------------------------------------ maintenance
+    def compact_tombstones(self) -> int:
+        """Tombstone GC with the engine's full partition knowledge: the
+        safety bound covers every partition present in the changelog,
+        so a partition that has not yet committed pins compaction at
+        zero (see SnapshotTable.compact_tombstones)."""
+        return self.table.compact_tombstones(
+            self.spark, source_partitions=sorted(self.extents)
+        )
+
     # ----------------------------------------------------- subscriptions
     def subscribe(
         self,

@@ -209,3 +209,10 @@ def test_remove_orphans_age_guard(spark, changelog_dir, tmp_path):
     table.expire_snapshots(retain_last=1)
     assert table.remove_orphans(min_age_seconds=3600) == 0
     assert table.remove_orphans() > 0
+
+
+def test_engine_compact_wrapper_uses_full_partition_set(spark, changelog_dir, oracle_state, tmp_path):
+    table, eng = _replay_many_epochs(spark, changelog_dir, str(tmp_path / "t9"))
+    dropped = eng.compact_tombstones()
+    assert dropped > 0
+    assert_state_equals_oracle(table.read(spark), oracle_state)
