@@ -1,0 +1,147 @@
+"""Deployment CLI — the `canal.deployer` analog for the Spark engine
+[C: deployer/.../CanalLauncher.java :: #main]: one entry point a user
+runs via `python -m canal_spark …` or ships with
+`spark-submit --py-files canal_spark.zip` (the north-rule deployment
+mode; the driver script just calls these same functions).
+
+Commands:
+  replay    full or budgeted changelog replay into a snapshot table
+            (resumes from the committed checkpoints automatically)
+  status    table position: epoch, schema version, per-partition
+            checkpoints, per-client cursors, lineage totals
+  maintain  expire-snapshots / remove-orphans / compact-tombstones
+
+Every command is idempotent and crash-safe by construction (the engine
+commits atomically; re-running `replay` after completion is a no-op).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(master: str | None, cpus: int | None):
+    from canal_spark.session import get_spark
+
+    master = master or os.environ.get("CANAL_SPARK_MASTER", "local[*]")
+    shuffle = cpus or os.cpu_count() or 8
+    return get_spark(app="canal_spark_cli", master=master, shuffle_partitions=max(8, shuffle))
+
+
+def cmd_replay(args) -> int:
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+
+    spark = _spark(args.master, args.cpus)
+    table = (
+        SnapshotTable.create(args.table, n_buckets=args.buckets)
+        if not os.path.isdir(os.path.join(args.table, "meta"))
+        else SnapshotTable(args.table)
+    )
+    eng = CdcEngine(
+        spark,
+        args.changelog,
+        table,
+        lsn_budget=args.lsn_budget,
+        source_whitelist=args.whitelist,
+        source_blacklist=args.blacklist,
+        ddl_events_path=args.ddl_events,
+        xa_mode=args.xa,
+    )
+    if args.epochs_budget:
+        eng.lsn_budget = eng.budget_for_epochs(args.epochs_budget)
+    final = eng.run_to_completion(max_epochs=args.max_epochs)
+    out = {
+        "final_epoch": final,
+        "rows": table.read(spark).count(),
+        "checkpoints": table.checkpoints(),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from canal_spark.plans.cursors import CursorRegistry
+    from canal_spark.plans.table import SnapshotTable
+
+    table = SnapshotTable(args.table)
+    snap = table.snapshot()
+    lineage_events = sum(r["n_events"] for r in snap.get("lineage", []))
+    reg = CursorRegistry(table.meta_dir)
+    out = {
+        "epoch": snap["epoch"],
+        "schema_ver": snap["schema_ver"],
+        "n_buckets": snap["n_buckets"],
+        "checkpoints": snap["checkpoints"],
+        "last_epoch_events": lineage_events,
+        "clients": {c: reg.get(c)["positions"] for c in reg.clients()},
+        "pending_files": len(snap.get("pending", [])),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_maintain(args) -> int:
+    from canal_spark.plans.table import SnapshotTable
+
+    table = SnapshotTable(args.table)
+    out: dict = {}
+    if args.expire_retain is not None:
+        out["expired_snapshots"] = table.expire_snapshots(retain_last=args.expire_retain)
+    if args.compact:
+        from canal_spark.engine import CdcEngine
+
+        spark = _spark(args.master, args.cpus)
+        eng = CdcEngine(spark, args.changelog, table)
+        out["tombstones_dropped"] = eng.compact_tombstones()
+    if args.gc:
+        out["orphans_removed"] = table.remove_orphans(min_age_seconds=args.gc_min_age)
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="canal_spark")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    rp = sub.add_parser("replay", help="replay a changelog into a snapshot table")
+    rp.add_argument("--changelog", required=True)
+    rp.add_argument("--table", required=True)
+    rp.add_argument("--buckets", type=int, default=32)
+    rp.add_argument("--lsn-budget", type=int, default=1_000_000)
+    rp.add_argument("--epochs-budget", type=int, default=None,
+                    help="derive lsn budget to finish in N epochs")
+    rp.add_argument("--max-epochs", type=int, default=10_000)
+    rp.add_argument("--whitelist", default=None)
+    rp.add_argument("--blacklist", default=None)
+    rp.add_argument("--ddl-events", default=None)
+    rp.add_argument("--xa", action="store_true")
+    rp.set_defaults(fn=cmd_replay)
+
+    st = sub.add_parser("status", help="print table position/meta as JSON")
+    st.add_argument("--table", required=True)
+    st.set_defaults(fn=cmd_status)
+
+    mt = sub.add_parser("maintain", help="snapshot/tombstone/orphan maintenance")
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--expire-retain", type=int, default=None)
+    mt.add_argument("--compact", action="store_true")
+    mt.add_argument("--changelog", default=None,
+                    help="required with --compact (partition extents)")
+    mt.add_argument("--gc", action="store_true")
+    mt.add_argument("--gc-min-age", type=float, default=300.0)
+    mt.set_defaults(fn=cmd_maintain)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "maintain" and args.compact and not args.changelog:
+        ap.error("--compact requires --changelog")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

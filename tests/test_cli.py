@@ -1,0 +1,58 @@
+"""Deployment CLI: `python -m canal_spark replay/status/maintain` as a
+user would run it — separate processes, resume across invocations,
+JSON output contract."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*argv: str) -> dict:
+    env = {**os.environ, "CANAL_SPARK_MASTER": "local[4]"}
+    out = subprocess.run(
+        [sys.executable, "-m", "canal_spark", *argv],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_replay_status_maintain_roundtrip(changelog_dir, tmp_path):
+    table = str(tmp_path / "t")
+    # budgeted replay in its own process
+    r1 = _run(
+        "replay", "--changelog", changelog_dir, "--table", table,
+        "--buckets", "8", "--lsn-budget", "600", "--max-epochs", "2",
+    )
+    assert r1["final_epoch"] == 2 and r1["rows"] > 0
+    # resume to completion in a SECOND process (cold restart)
+    r2 = _run("replay", "--changelog", changelog_dir, "--table", table,
+              "--lsn-budget", "1000000000")
+    assert r2["final_epoch"] >= r1["final_epoch"]
+    # re-running a completed replay is a no-op
+    r3 = _run("replay", "--changelog", changelog_dir, "--table", table,
+              "--lsn-budget", "1000000000")
+    assert r3 == r2
+    # status needs no Spark session
+    st = _run("status", "--table", table)
+    assert st["epoch"] == r2["final_epoch"]
+    assert st["checkpoints"] == {str(k): v for k, v in r2["checkpoints"].items()}
+    # maintenance: expire + compact + gc
+    mt = _run(
+        "maintain", "--table", table, "--expire-retain", "1",
+        "--compact", "--changelog", changelog_dir, "--gc", "--gc-min-age", "0",
+    )
+    assert mt["expired_snapshots"] and mt["orphans_removed"] > 0
+    assert mt["tombstones_dropped"] >= 0
+    # table still readable at the same row count
+    st2 = _run("status", "--table", table)
+    assert st2["epoch"] >= st["epoch"]
