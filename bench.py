@@ -133,6 +133,13 @@ def main() -> None:
     queries["cdc_replay"] = replay["wall_sec"]
 
     for name in HEADLINE:
+        # steady-state per-query timing: one warm-up execution at
+        # sf0.001 first (same plan shape, trivial data) so the recorded
+        # number measures the operator, not first-run codegen/JIT of
+        # its plan — symmetric with the replay warm-up above
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
+            "noop"
+        ).save()
         t0 = time.monotonic()
         QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
         queries[name] = round(time.monotonic() - t0, 3)
