@@ -786,6 +786,33 @@ def doc_fingerprint(spark, sf):
     )
 
 
+FRAME_SAMPLE_SQL = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+f AS (SELECT doc_id,
+             UNNEST(generate_series(0, nb % 24 + 8 - 1, 4)) AS fi,
+             LEAST(16, nb) AS fl
+      FROM d)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(fl AS INT) AS frame_len FROM f
+"""
+
+
+@q("multimodal_frame_sample", FRAME_SAMPLE_SQL)
+def multimodal_frame_sample(spark, sf):
+    """Frame-sampling fan-out over media blobs: one row per kept frame
+    (mapInPandas, explicit schema). The metadata (n_frames) is a pure
+    function of the payload bytes, so the fan-out cardinality and
+    frame lengths are SQL-computable — the decode itself stays a
+    declared stub (functions/multimodal.py)."""
+    from canal_spark.functions import multimodal as MM
+
+    media = MM.attach_media_meta(
+        load(spark, sf, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+    )
+    return MM.frame_sample(media, every_n=4).select("doc_id", "frame_idx", "frame_len")
+
+
 @q("multimodal_decode_stub")  # rows-only: binary plumbing, decode stubbed
 def multimodal_decode_stub(spark, sf):
     from canal_spark.functions.tokens import multimodal_decode_stub as decode
@@ -858,6 +885,51 @@ c AS (SELECT user_id AS key, ts,
 SELECT p.key, p.ts, p.purchase_lsn, c.click_lsn, c.click_value
 FROM p ASOF LEFT JOIN c ON p.key = c.key AND p.ts >= c.ts
 """
+
+
+ASOF_NULL_SQL = """
+WITH p AS (SELECT event_id AS purchase_lsn, user_id AS key, ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id AS key, ts,
+             CAST(MAX(event_id) AS BIGINT) AS click_lsn,
+             CASE WHEN MAX(event_id) % 3 = 0 THEN NULL
+                  ELSE arg_max(value, event_id) END AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.key, p.ts, p.purchase_lsn, c.click_lsn, c.click_value
+FROM p ASOF LEFT JOIN c ON p.key = c.key AND p.ts >= c.ts
+"""
+
+
+@q("asof_join_nullable_values", ASOF_NULL_SQL)
+def asof_join_nullable_values(spark, sf):
+    """ASOF semantics under NULL right-side values (every third click's
+    value nulled): the attached row must be the latest right row AS A
+    WHOLE — its NULL fields included — not a per-column carry-forward
+    of older non-nulls. DuckDB's native ASOF JOIN is the oracle."""
+    from canal_spark.operators.joins import asof_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), "ts", F.col("event_id").alias("purchase_lsn")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("key"), "ts")
+        .agg(
+            F.max("event_id").alias("click_lsn"),
+            F.when(
+                F.max("event_id") % 3 == 0, F.lit(None).cast("double")
+            ).otherwise(F.max_by("value", "event_id")).alias("click_value"),
+        )
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="key",
+        time_col="ts",
+        value_cols=["click_lsn", "click_value"],
+        left_cols=["purchase_lsn"],
+    )
 
 
 @q("asof_join_last_click", ASOF_SQL)
