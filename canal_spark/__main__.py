@@ -89,6 +89,9 @@ def cmd_maintain(args) -> int:
 
     table = SnapshotTable(args.table)
     out: dict = {}
+    if args.rebucket is not None:
+        spark = _spark(args.master, args.cpus)
+        out["rebucket_epoch"] = table.rebucket(spark, args.rebucket)
     if args.expire_retain is not None:
         out["expired_snapshots"] = table.expire_snapshots(retain_last=args.expire_retain)
     if args.compact:
@@ -129,6 +132,8 @@ def main(argv: list[str] | None = None) -> int:
 
     mt = sub.add_parser("maintain", help="snapshot/tombstone/orphan maintenance")
     mt.add_argument("--table", required=True)
+    mt.add_argument("--rebucket", type=int, default=None,
+                    help="rewrite the table into N hash buckets (full rewrite)")
     mt.add_argument("--expire-retain", type=int, default=None)
     mt.add_argument("--compact", action="store_true")
     mt.add_argument("--changelog", default=None,

@@ -211,9 +211,16 @@ class SnapshotTable:
         schema_update: dict | None = None,
         pending: list[str] | None = None,
         meta: dict | None = None,
+        n_buckets_update: int | None = None,
+        replace_all: bool = False,
     ) -> bool:
         """Atomically publish epoch `e`: carry forward untouched buckets,
         replace rewritten ones, merge checkpoints, append lineage.
+
+        `replace_all` starts from an empty file map instead of the
+        parent's (full-layout rewrites — see rebucket);
+        `n_buckets_update` changes the bucket count from this snapshot
+        on (only meaningful together with replace_all).
 
         Returns False (no-op) if the snapshot already exists — idempotent
         re-apply. Enforces strictly sequential epochs (canal's sequential
@@ -224,7 +231,7 @@ class SnapshotTable:
         if cur != epoch - 1:
             raise ValueError(f"non-sequential commit: current={cur}, committing={epoch}")
         snap = self.snapshot(cur)
-        files = {b: list(v) for b, v in snap["files"].items()}
+        files = {} if replace_all else {b: list(v) for b, v in snap["files"].items()}
         new_ver = snap["schema_ver"]
         schemas = dict(snap["schemas"])
         if schema_update:
@@ -242,7 +249,7 @@ class SnapshotTable:
         new_snap = {
             "epoch": epoch,
             "parent": cur,
-            "n_buckets": snap["n_buckets"],
+            "n_buckets": int(n_buckets_update or snap["n_buckets"]),
             "key_col": snap["key_col"],
             "schema_ver": new_ver,
             "schemas": schemas,
@@ -382,6 +389,46 @@ class SnapshotTable:
         files = self.list_epoch_files(epoch)
         self.commit(epoch, {b: files.get(b, []) for b in buckets}, {}, [])
         return int(n_dead)
+
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
+        """Bucket-layout evolution: rewrite the table into
+        `new_n_buckets` hash buckets as ONE commit epoch. A long-lived
+        table must be able to grow its bucket count (copy-on-write
+        epoch cost and file counts are O(touched buckets); at 10^10+
+        keys the layout chosen at create time stops being right) —
+        Iceberg's analog is a partition-spec evolution + rewrite.
+
+        Honest cost: this is a FULL table rewrite (one shuffle on the
+        new bucket key) — schedule it like any majour compaction. All
+        merge metadata (_seq, _tombstone) is preserved; replay resumes
+        against the new layout with no engine changes (bucket count is
+        read from the current snapshot every epoch); earlier snapshots
+        still time-travel against the old layout until expired."""
+        snap = self.snapshot()
+        if new_n_buckets == snap["n_buckets"]:
+            return snap["epoch"]
+        epoch = snap["epoch"] + 1
+        cols = [f["name"] for f in snap["schemas"][str(snap["schema_ver"])]]
+        state = self.read(spark, with_bucket=False, internal=True)
+        out_dir = self.epoch_data_dir(epoch)
+        (
+            state.withColumn("bucket", bucket_expr(snap["key_col"], new_n_buckets))
+            .select(*cols, "_seq", "_tombstone", "bucket")
+            .repartition(new_n_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out_dir)
+        )
+        files = self.list_epoch_files(epoch)
+        self.commit(
+            epoch,
+            rewritten=files,
+            checkpoints={},
+            lineage=[],
+            n_buckets_update=new_n_buckets,
+            replace_all=True,
+        )
+        return epoch
 
     def remove_orphans(self, min_age_seconds: float = 0.0) -> int:
         """Delete data files referenced by NO remaining snapshot

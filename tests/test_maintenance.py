@@ -216,3 +216,45 @@ def test_engine_compact_wrapper_uses_full_partition_set(spark, changelog_dir, or
     dropped = eng.compact_tombstones()
     assert dropped > 0
     assert_state_equals_oracle(table.read(spark), oracle_state)
+
+
+def test_rebucket_mid_replay_preserves_state_and_resume(
+    spark, changelog_dir, oracle_state, tmp_path
+):
+    """Bucket-layout evolution under load: grow 8 -> 32 buckets halfway
+    through a replay; the engine resumes against the new layout (bucket
+    count is re-read from the snapshot each epoch) and final state
+    stays oracle-exact; old snapshots still time-travel."""
+    import pyspark.sql.functions as F
+
+    from canal_spark.plans.table import bucket_expr
+
+    root = str(tmp_path / "tr")
+    table = SnapshotTable.create(root, n_buckets=8)
+    eng = CdcEngine(spark, changelog_dir, table, lsn_budget=400)
+    for _ in range(3):
+        eng.run_epoch()
+    pre_epoch = table.current_epoch()
+    pre_rows = table.read(spark).count()
+
+    e = table.rebucket(spark, 32)
+    assert e == pre_epoch + 1
+    snap = table.snapshot()
+    assert snap["n_buckets"] == 32
+    assert table.read(spark).count() == pre_rows
+    # every row actually lives in its hash bucket of the NEW layout
+    misrouted = (
+        table.read(spark)
+        .filter(F.col("bucket") != bucket_expr("doc_id", 32))
+        .count()
+    )
+    assert misrouted == 0
+    # time travel to the pre-rebucket epoch still reads the old layout
+    assert table.read(spark, epoch=pre_epoch).count() == pre_rows
+
+    eng.run_to_completion()
+    assert_state_equals_oracle(table.read(spark), oracle_state)
+    # new epochs wrote only buckets < 32 and pruned reads still work
+    some_bucket = int(table.read(spark).select("bucket").first()[0])
+    pruned = table.read(spark, buckets=[some_bucket])
+    assert 0 < pruned.count() < pre_rows
