@@ -47,6 +47,11 @@ CHECKS = [
     ("ann_ivf_topk", [], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     # MQ JSON edge: explicit-schema from_json/to_json, JVM-only
     ("flatmessage_roundtrip", ["from_json"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # as-of with nullable values: still the union+window plan, never an
+    # inequality nested loop (the naive ASOF formulation)
+    ("asof_join_nullable_values", ["Window"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # frame-sample fan-out: Arrow-batched python map, no shuffle at all
+    ("multimodal_frame_sample", ["MapInPandas"], ["Exchange", "CartesianProduct"]),
 ]
 
 

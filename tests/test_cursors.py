@@ -118,3 +118,26 @@ def test_engine_subscribe_shares_table_meta_dir(spark, changelog_dir, tmp_path):
     # replay still works with cursor files present in meta/
     eng.run_to_completion()
     assert table.read(spark).count() > 0
+
+
+def test_property_any_budget_covers_changelog_exactly_once(spark, changelog_dir, tmp_path):
+    """∀ lsn budgets: the concatenation of a client's batches delivers
+    every changelog event exactly once, in cursor order, regardless of
+    slice size or how acks interleave with other clients."""
+    from canal_spark.plans.cursors import CursorRegistry
+
+    total = spark.read.parquet(changelog_dir).count()
+    reg = CursorRegistry(str(tmp_path / "meta"))
+    # budget=1 would mean one Spark job per lsn (minutes of pure
+    # scheduling overhead); 37 already exercises hundreds of batches
+    for budget in (37, 500, 10**9):
+        c = _consumer(spark, changelog_dir, reg, f"b{budget}", lsn_budget=budget)
+        seen = 0
+        batches = 0
+        while (got := c.get()) is not None:
+            bid, df = got
+            seen += df.count()
+            c.ack(bid)
+            batches += 1
+            assert batches < 20_000, "no forward progress"
+        assert seen == total, f"budget={budget}: {seen} != {total}"
