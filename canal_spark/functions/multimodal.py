@@ -81,20 +81,31 @@ def frame_sample(
     out_schema = f"{id_col} long, frame_idx int, frame_len int, frame binary"
 
     def sample(batches):
+        import numpy as np
+
         for pdf in batches:
-            ids, idxs, lens, frames = [], [], [], []
-            for _i, row in pdf.iterrows():
-                payload = bytes(row[payload_col])
-                n_frames = int(row["media_meta"]["n_frames"])
-                # >>> STUB: real per-frame decode (av.open(...)) here <<<
-                window = payload[:16]
-                for fi in range(0, n_frames, every_n):
-                    ids.append(row[id_col])
-                    idxs.append(fi)
-                    lens.append(len(window))
-                    frames.append(window)
+            if not len(pdf):
+                continue
+            nf = pdf["media_meta"].map(lambda m: m["n_frames"]).to_numpy(dtype=np.int64)
+            counts = -(-nf // every_n)  # frames kept per doc (ceil)
+            # vectorized fan-out: repeat doc rows by their kept-frame
+            # count, intra-doc index -> sampled frame index
+            rep = np.repeat(np.arange(len(pdf)), counts)
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            frame_idx = (np.arange(len(rep)) - starts) * every_n
+            # >>> STUB: real per-frame decode (av.open(...)) goes here;
+            # the stub frame is a deterministic 16-byte window <<<
+            windows = pdf[payload_col].map(lambda b: bytes(b)[:16]).to_numpy(dtype=object)
+            frames = windows[rep]
             yield pd.DataFrame(
-                {id_col: ids, "frame_idx": idxs, "frame_len": lens, "frame": frames}
+                {
+                    id_col: pdf[id_col].to_numpy()[rep],
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_len": np.fromiter(
+                        (len(w) for w in windows), dtype=np.int32, count=len(windows)
+                    )[rep],
+                    "frame": frames,
+                }
             )
 
     return df.mapInPandas(sample, schema=out_schema)
