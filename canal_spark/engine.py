@@ -80,6 +80,7 @@ class CdcEngine:
         broadcast_threshold_rows: int = 4_000_000,
         ddl_events_path: str | None = None,
         xa_mode: bool = False,
+        sinks: tuple = (),
     ):
         self.spark = spark
         self.changelog_path = changelog_path
@@ -99,6 +100,11 @@ class CdcEngine:
         #: default — non-XA logs skip the extra marker scan, matching
         #: canal's opt-in XA parsing.
         self.xa_mode = xa_mode
+        #: OuterAdapter-style fan-out (sinks.py): each sink receives the
+        #: epoch delta BEFORE the atomic commit, writing epoch-keyed +
+        #: overwrite so crash re-runs are byte-identical (exactly-once
+        #: per epoch location). Empty by default — zero cost.
+        self.sinks = tuple(sinks)
         # the winner/delta joins broadcast when the epoch's distinct-key
         # count is modest (no shuffle OR sort of the wide event stream —
         # measured much faster), and fall back to shuffled hash joins
@@ -288,6 +294,8 @@ class CdcEngine:
                 key_frame=prep.winners,
                 affected=prep.affected,
             )
+            for sink in self.sinks:
+                sink.apply(self.spark, delta, prep.epoch)
         except BaseException:
             self._discard(prep)
             raise

@@ -1,0 +1,83 @@
+"""Sink adapters — canal's OuterAdapter SPI and MQ fan-out, Spark-side.
+
+Canal delivers each batch to pluggable sinks: MQ producers serialize
+FlatMessage JSON per topic/partition
+[C: connector/kafka-connector/.../CanalKafkaProducer.java ::
+#send(MQDestination,...)] and client adapters apply batches to
+downstream stores [C: client-adapter/common/.../OuterAdapter.java ::
+#sync]. Here a sink is any object with
+`apply(spark, delta, epoch)` receiving the epoch's collapsed delta
+(one LWW winner per key, `_seq`-versioned) — the same frame the MERGE
+consumes.
+
+Delivery contract: sinks run BEFORE the epoch's atomic table commit
+and write to epoch-keyed locations with overwrite, so a crash after a
+sink wrote but before the commit re-runs the epoch and overwrites the
+sink output byte-identically — idempotent at-least-once = effectively
+exactly-once per epoch directory (same recipe as the table itself).
+
+Cost note: the delta lineage is recomputed per sink (one extra pruned
+slice scan + the cached-winners join); the engine deliberately never
+caches the wide delta (measured in r1 — cache build cost exceeds the
+re-scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from canal_spark.operators.lww import SP_BITS
+
+
+def flat_messages_from_delta(
+    delta: DataFrame,
+    database: str = "canal",
+    table: str = "target",
+) -> DataFrame:
+    """Epoch delta -> one FlatMessage JSON string per changed row
+    (canal's flatMessage=true mode: stringly-typed column maps,
+    DELETE rows carried with type=DELETE). Inverse of
+    sources.flat_message.parse_flat_messages; JVM-only expressions."""
+    data_map = F.create_map(
+        F.lit("doc_id"), F.col("doc_id"),
+        F.lit("tokens"), F.to_json(F.col("tokens")),
+        F.lit("n_tok"), F.col("n_tok").cast("string"),
+        F.lit("source"), F.col("source"),
+    )
+    msg = F.struct(
+        F.col("_seq").alias("id"),
+        F.lit(database).alias("database"),
+        F.lit(table).alias("table"),
+        F.array(F.lit("doc_id")).alias("pkNames"),
+        F.lit(False).alias("isDdl"),
+        F.col("op").alias("type"),
+        # es = source event "execute time" analog: the winner's lsn
+        F.shiftright(F.col("_seq"), SP_BITS).alias("es"),
+        F.col("_seq").alias("ts"),
+        F.lit(None).cast("string").alias("sql"),
+        F.array(data_map).alias("data"),
+        F.lit(None).cast("array<map<string,string>>").alias("old"),
+    )
+    return delta.select(F.to_json(msg).alias("value"))
+
+
+class FlatMessageDirSink:
+    """MQ-topic stand-in: epoch-keyed directories of FlatMessage JSON
+    lines (swap the write for a Kafka producer `.format("kafka")` on a
+    real bus — the message construction is identical)."""
+
+    def __init__(self, out_dir: str, database: str = "canal", table: str = "target"):
+        self.out_dir = out_dir
+        self.database = database
+        self.table = table
+
+    def epoch_dir(self, epoch: int) -> str:
+        return f"{self.out_dir}/epoch={epoch}"
+
+    def apply(self, spark: SparkSession, delta: DataFrame, epoch: int) -> None:
+        (
+            flat_messages_from_delta(delta, self.database, self.table)
+            .write.mode("overwrite")
+            .text(self.epoch_dir(epoch))
+        )

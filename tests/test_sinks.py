@@ -1,0 +1,92 @@
+"""Sink adapters: FlatMessage fan-out is lossless (encode -> parse
+roundtrip) and the engine's per-epoch sink delivery is exactly-once
+per epoch location under re-runs."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from canal_spark.engine import CdcEngine
+from canal_spark.plans.table import SnapshotTable
+from canal_spark.sinks import FlatMessageDirSink, flat_messages_from_delta
+from canal_spark.sources.flat_message import parse_flat_messages
+
+
+def _delta(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "INSERT", [1, 2, 3], 3, "src0", (7 << 12) | 1),
+            ("b", "UPDATE", [9], 1, "src1", (9 << 12) | 0),
+            ("c", "DELETE", None, None, "src2", (11 << 12) | 2),
+        ],
+        "doc_id string, op string, tokens array<int>, n_tok int, source string, _seq long",
+    )
+
+
+def test_flat_message_roundtrip_lossless(spark):
+    delta = _delta(spark)
+    msgs = flat_messages_from_delta(delta, database="db1", table="t1")
+    parsed = parse_flat_messages(msgs, json_col="value")
+    back = parsed.select(
+        F.col("row.doc_id").alias("doc_id"),
+        F.col("op"),
+        F.from_json(F.col("row.tokens"), "array<int>").alias("tokens"),
+        F.col("row.n_tok").cast("int").alias("n_tok"),
+        F.col("row.source").alias("source"),
+        F.col("msg_id").alias("_seq"),
+        F.col("es"),
+        F.col("database"),
+        F.col("table"),
+    )
+    rows = {r["doc_id"]: r for r in back.collect()}
+    exp = {r["doc_id"]: r for r in delta.collect()}
+    assert set(rows) == set(exp)
+    for k, e in exp.items():
+        g = rows[k]
+        assert (g["op"], g["tokens"], g["n_tok"], g["source"], g["_seq"]) == (
+            e["op"], e["tokens"], e["n_tok"], e["source"], e["_seq"]
+        )
+        assert g["es"] == e["_seq"] >> 12
+        assert (g["database"], g["table"]) == ("db1", "t1")
+
+
+def test_engine_sink_fanout_per_epoch_and_rerun_identical(spark, changelog_dir, tmp_path):
+    out = str(tmp_path / "topic")
+    sink = FlatMessageDirSink(out)
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    eng = CdcEngine(spark, changelog_dir, table, lsn_budget=900, sinks=(sink,))
+    final = eng.run_to_completion()
+    assert final >= 2
+    # one message per delta row per epoch; epoch message keys == that
+    # epoch's winner keys (spot-check via the table's lineage)
+    for e in range(1, final + 1):
+        msgs = spark.read.text(sink.epoch_dir(e))
+        parsed = parse_flat_messages(msgs, json_col="value")
+        n_keys = parsed.select("row.doc_id").distinct().count()
+        assert parsed.count() == n_keys > 0
+    # simulate crash-after-sink-before-commit re-run: re-emitting the
+    # last epoch's delta overwrites byte-identically
+    before = sorted(
+        r["value"] for r in spark.read.text(sink.epoch_dir(final)).collect()
+    )
+    # recompute the same epoch delta through a fresh engine on a COPY
+    # of the pre-final table state is equivalent to rerunning the same
+    # write; here we just re-apply the sink with the recorded delta
+    msgs = spark.read.text(sink.epoch_dir(final))
+    parsed = parse_flat_messages(msgs, json_col="value")
+    redelta = parsed.select(
+        F.col("row.doc_id").alias("doc_id"),
+        F.col("op"),
+        F.from_json(F.col("row.tokens"), "array<int>").alias("tokens"),
+        F.col("row.n_tok").cast("int").alias("n_tok"),
+        F.col("row.source").alias("source"),
+        F.col("msg_id").alias("_seq"),
+    )
+    # materialize before re-applying: overwrite would otherwise delete
+    # its own input mid-read
+    redelta = spark.createDataFrame(redelta.collect(), redelta.schema)
+    sink.apply(spark, redelta, final)
+    after = sorted(
+        r["value"] for r in spark.read.text(sink.epoch_dir(final)).collect()
+    )
+    assert after == before
