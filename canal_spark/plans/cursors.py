@@ -48,7 +48,13 @@ _CURSOR_RE = re.compile(r"cursor-([A-Za-z0-9_\-\.]+)\.json$")
 
 
 class CursorRegistry:
-    """Durable per-client cursor store under a meta directory."""
+    """Durable per-client cursor store under a meta directory.
+
+    Concurrency contract (canal's too): ONE live consumer per client
+    id. Writes are atomic (tmp+rename) and positions max-merge, so a
+    violated contract cannot corrupt or regress a cursor — but two
+    concurrent same-client consumers would double-deliver slices
+    (each believing the batch outstanding is its own)."""
 
     def __init__(self, meta_dir: str):
         self.meta_dir = meta_dir

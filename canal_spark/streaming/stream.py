@@ -39,10 +39,18 @@ PAYLOAD_COLS = ("op", "tokens", "n_tok", "source")
 
 
 class StreamingUpsert:
-    def __init__(self, spark: SparkSession, table: SnapshotTable, xa_mode: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: SnapshotTable,
+        xa_mode: bool = False,
+        sinks: tuple = (),
+    ):
         self.spark = spark
         self.table = table
         self.xa_mode = xa_mode
+        #: same OuterAdapter fan-out contract as CdcEngine.sinks
+        self.sinks = tuple(sinks)
 
     # ------------------------------------------------------------ batch
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
@@ -106,6 +114,8 @@ class StreamingUpsert:
         )
         delta = lww_collapse(apply_df, key="doc_id", payload_cols=PAYLOAD_COLS, with_seq=True)
         rewritten = merge_epoch(self.spark, self.table, delta, epoch)
+        for sink in self.sinks:
+            sink.apply(self.spark, delta, epoch)
         lineage = [
             {
                 "epoch": epoch,

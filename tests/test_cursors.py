@@ -141,3 +141,33 @@ def test_property_any_budget_covers_changelog_exactly_once(spark, changelog_dir,
             batches += 1
             assert batches < 20_000, "no forward progress"
         assert seen == total, f"budget={budget}: {seen} != {total}"
+
+
+def test_multi_destination_pattern_two_tables_one_changelog(
+    spark, changelog_dir, oracle_state, tmp_path
+):
+    """Canal's multi-destination deployment (one source, N filtered
+    destinations) is N engines with subscription whitelists over the
+    same changelog — each table keeps its own checkpoints; the union of
+    two complementary destinations equals the unfiltered oracle state."""
+    ta = SnapshotTable.create(str(tmp_path / "ta"), n_buckets=4)
+    tb = SnapshotTable.create(str(tmp_path / "tb"), n_buckets=4)
+    CdcEngine(
+        spark, changelog_dir, ta, lsn_budget=10**9, source_whitelist="^src[0-4]$"
+    ).run_to_completion()
+    CdcEngine(
+        spark, changelog_dir, tb, lsn_budget=10**9, source_blacklist="^src[0-4]$"
+    ).run_to_completion()
+    import pandas as pd
+
+    got = pd.concat(
+        [
+            ta.read(spark).select("doc_id", "tokens", "n_tok", "source").toPandas(),
+            tb.read(spark).select("doc_id", "tokens", "n_tok", "source").toPandas(),
+        ]
+    )
+    exp = oracle_state
+    # complementary filters partition the key space by source
+    assert len(got) == len(exp)
+    assert sorted(got.doc_id) == sorted(exp.doc_id)
+    assert ta.checkpoints() and tb.checkpoints()

@@ -90,3 +90,14 @@ def test_engine_sink_fanout_per_epoch_and_rerun_identical(spark, changelog_dir, 
         r["value"] for r in spark.read.text(sink.epoch_dir(final)).collect()
     )
     assert after == before
+
+
+def test_streaming_sink_fanout(spark, changelog_dir, tmp_path):
+    from canal_spark.streaming.stream import StreamingUpsert
+
+    sink = FlatMessageDirSink(str(tmp_path / "topic"))
+    table = SnapshotTable.create(str(tmp_path / "t2"), n_buckets=4)
+    su = StreamingUpsert(spark, table, sinks=(sink,))
+    assert su.apply_batch(spark.read.parquet(changelog_dir), 0) is True
+    msgs = parse_flat_messages(spark.read.text(sink.epoch_dir(1)), json_col="value")
+    assert msgs.count() == msgs.select("row.doc_id").distinct().count() > 0
