@@ -81,3 +81,41 @@ def fingerprint(text: str | Column = "text", salt: str | Column | None = None) -
         s = F.col(salt) if isinstance(salt, str) else salt
         c = F.concat_ws(":", s, c)
     return F.md5(c)
+
+
+def winnowing_fingerprints(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+):
+    """(id, fp) — winnowing document fingerprints (Schleimer/Wilkerson/
+    Aiken, the MOSS rolling-hash scheme): hash every positional char
+    k-gram, slide a window of `w` consecutive gram hashes, keep the
+    minimum of each window, emit the distinct survivors. Guarantees:
+    any shared substring of length >= k + w - 1 yields at least one
+    shared fingerprint, while storage is ~2/(w+1) of the gram count.
+
+    Portability: the gram "hash" is the md5 hex string and the window
+    minimum is its lexicographic MIN — any total order over a
+    collision-resistant digest is a valid winnowing order, and md5 hex
+    is byte-identical between Spark and DuckDB (FIXTURES.md §C), so
+    the fingerprint SETS match the SQL oracle exactly.
+
+    Scale: whole-stage-codegen higher-order array ops per document
+    (no shuffle until the final distinct, which is keyed on the
+    fingerprint — the natural inverted-index build)."""
+    n = F.length(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> md5(substring({text_col}, i, {k})))"
+    )
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(_hashes) - {w - 1}, 1)),"
+        f" i -> array_min(slice(_hashes, i, {w})))"
+    )
+    return (
+        df.select(F.col(id_col), F.when(n > 0, grams).otherwise(F.array()).alias("_hashes"))
+        .select(id_col, F.explode(F.array_distinct(mins)).alias("fp"))
+    )

@@ -735,6 +735,29 @@ def embedding_neardup_cosine(spark, sf):
     )
 
 
+WINNOW_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                        i -> md5(substring(text, i, 5))) AS hashes
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hashes) - 3, 1) + 1),
+                        i -> list_min(hashes[i:i+3]))) AS fps
+  FROM g)
+SELECT doc_id, UNNEST(fps) AS fp FROM m
+"""
+
+
+@q("winnowing_fingerprints", WINNOW_SQL)
+def winnowing_fingerprints_q(spark, sf):
+    """Rolling-hash document fingerprints (MOSS winnowing): min gram
+    hash per sliding window, distinct survivors. md5-hex ordering makes
+    the fingerprint sets byte-identical to the SQL oracle."""
+    return TX.winnowing_fingerprints(load(spark, sf, "documents"), k=5, w=4)
+
+
 @q(
     "lang_id_heuristic",
     "SELECT doc_id, CASE WHEN strpos(text, ' the ') > 0 THEN 'en' "

@@ -137,3 +137,37 @@ def test_char_ngram_candidates_are_band_keyed(disjoint_docs):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in ex and "CartesianProduct" not in ex
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: any shared substring of length >= k+w-1
+    (= 8 at k=5,w=4) yields at least one shared fingerprint. The
+    planted clones (same text + ' extra') must share; engineered
+    random-letter docs share almost nothing."""
+    from canal_spark.functions.text import winnowing_fingerprints
+
+    docs = _with_planted_dupes(spark.read.parquet(f"{SF}/documents.parquet"))
+    fps = winnowing_fingerprints(docs)
+    a = fps.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("k"), "fp"
+    )
+    b = fps.filter(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("k"), "fp"
+    )
+    shared = a.join(b, ["k", "fp"]).select("k").distinct().count()
+    assert shared == 10, "every planted clone must share fingerprints"
+
+
+def test_winnowing_density_bound(spark):
+    """Winnowing keeps ~2/(w+1) of the grams — assert the documented
+    storage bound holds (fingerprints strictly fewer than grams)."""
+    from canal_spark.functions.text import winnowing_fingerprints
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_fp = winnowing_fingerprints(docs, k=5, w=4).count()
+    n_grams = int(
+        docs.select(F.greatest(F.length("text") - 4, F.lit(1)).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert n_fp < 0.7 * n_grams
