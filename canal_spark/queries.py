@@ -735,6 +735,37 @@ def embedding_neardup_cosine(spark, sf):
     )
 
 
+PACK_SQL = """
+WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tok FROM documents),
+o AS (SELECT doc_id, n_tok,
+        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      FROM d),
+c AS (SELECT doc_id, n_tok, s,
+        UNNEST(range(s // 512, (s + n_tok - 1) // 512 + 1)) AS chunk_id
+      FROM o WHERE n_tok > 0)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(LEAST(s + n_tok, (chunk_id + 1) * 512)
+            - GREATEST(s, chunk_id * 512) AS BIGINT) AS n_in_chunk
+FROM c
+"""
+
+
+@q("pack_sequences", PACK_SQL)
+def pack_sequences_q(spark, sf):
+    """Fixed-length training-sequence packing manifest via distributed
+    prefix sum (operators/pack.py) — the single-partition global-window
+    formulation is the oracle, the engine must match it with a fully
+    parallel plan. n_chars stands in for the token count (packing
+    consumes lengths only)."""
+    from canal_spark.operators.pack import pack_sequences
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tok")
+    )
+    return pack_sequences(d, seq_len=512)
+
+
 WINNOW_SQL = """
 WITH g AS (
   SELECT doc_id,
