@@ -53,6 +53,8 @@ HEADLINE = [
     "token_count",
     "quality_score",
     "doc_fingerprint",
+    "winnowing_fingerprints",
+    "pack_sequences",
 ]
 
 
