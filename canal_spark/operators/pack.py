@@ -14,22 +14,52 @@ plans as a single-partition sort (one task owns the corpus — a
 non-starter at 10^10 docs). Instead, the classic two-phase parallel
 prefix sum:
 
-1. range-partition by id (order-preserving across partitions);
-2. intra-partition running sums via a window PARTITIONED BY the
-   physical partition id — fully parallel, sorted within partitions
-   only;
-3. per-partition totals are P driver-side numbers (metadata scale);
-   their exclusive cumulative sums are folded back as a literal map.
+1. split the id domain into P contiguous ranges with EXPLICIT literal
+   boundaries (driver-side, from a one-job TakeOrdered random sample
+   of ids — same balance guarantee as RangePartitioner's own sampler);
+2. intra-range running sums via a window PARTITIONED BY the range id
+   — fully parallel, sorted within ranges only;
+3. per-range totals are P driver-side numbers (metadata scale); their
+   exclusive cumulative sums are folded back as a literal map.
+
+Why literal boundaries instead of `repartitionByRange` +
+`spark_partition_id()`: the totals collect and the final output are
+two independent Spark actions, and RangePartitioner re-samples its
+split points with an execution-varying seed on each action — the two
+actions can disagree about which range a boundary row belongs to,
+silently corrupting every offset past the first moved row (manifests
+only at scale, where the sampler is non-exhaustive). Boundaries that
+are Python literals are shared by construction, need no persist() of
+the corpus, and drop a shuffle: the window's own partitionBy(_pid) is
+now the only exchange.
 
 The chunk assignment depends only on global offsets, which are
-independent of the partition boundaries — output is deterministic for
-any partition count.
+independent of the range boundaries — output is deterministic for any
+partition count.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _range_bounds(df: DataFrame, id_col: str, parts: int) -> list:
+    """P-1 split points over the id domain, as driver-side literals.
+
+    One TakeOrdered job over the column-pruned id projection: sample
+    ~32 ids per target range via orderBy(rand(seed)).limit(n) (no full
+    sort), then pick evenly spaced quantiles driver-side. Collected
+    ONCE, so every downstream action agrees on range membership.
+    """
+    if parts <= 1:
+        return []
+    n = parts * 32
+    ids = sorted(r[0] for r in df.select(id_col).orderBy(F.rand(17)).limit(n).collect())
+    if len(ids) <= parts:
+        return sorted(set(ids[:-1]))
+    step = len(ids) / parts
+    return sorted({ids[int(i * step)] for i in range(1, parts)})
 
 
 def pack_sequences(
@@ -42,12 +72,21 @@ def pack_sequences(
     """(id, chunk_id, n_in_chunk) — see module docstring. Documents
     with `ntok_col` <= 0 contribute no rows. `id_col` values must be
     unique (the target-table invariant)."""
-    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    base = (
-        df.select(F.col(id_col), F.col(ntok_col).cast("long").alias("_n"))
-        .repartitionByRange(int(parts), F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
+    parts = int(
+        num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    bounds = _range_bounds(df, id_col, parts)
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        # range k owns ids in (bounds[k-1], bounds[k]]: pid = #bounds < id.
+        # Linear scan over P-1 literals per row, but entirely inside
+        # whole-stage codegen; P is O(cluster cores), not O(data).
+        pid = F.size(F.filter(barr, lambda b: b < F.col(id_col)))
+    else:
+        pid = F.lit(0)
+    base = df.select(
+        F.col(id_col), F.col(ntok_col).cast("long").alias("_n")
+    ).withColumn("_pid", pid)
     w = (
         Window.partitionBy("_pid")
         .orderBy(id_col)
@@ -60,8 +99,8 @@ def pack_sequences(
     )
     bases: dict[int, int] = {}
     acc = 0
-    for pid, t in totals:
-        bases[pid] = acc
+    for p, t in totals:
+        bases[p] = acc
         acc += t
     base_map = (
         F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])

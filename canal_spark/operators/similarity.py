@@ -194,8 +194,14 @@ def kmeans_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        raise ValueError("kmeans_centroids: vector corpus is empty")
     x = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # tiny-corpus clamp: fewer vectors than requested lists → one list
+    # per vector (callers see the effective count via len() of the
+    # returned list and must size nprobe against it)
+    n_lists = min(n_lists, len(x))
     cents = x[:n_lists].copy()
     for _ in range(sweeps):
         assign = np.argmax(x @ cents.T, axis=1)

@@ -30,10 +30,18 @@ from pyspark.sql import functions as F
 
 from canal_spark.sources.changelog import CHANGELOG_DDL
 
-#: wire `ts` is epoch MICROSECONDS (int64): string timestamp formats
-#: silently truncate to milliseconds through to_json, and integer
-#: micros are the common Kafka payload convention anyway
+#: wire `ts` is UTC epoch MICROSECONDS (int64): string timestamp
+#: formats silently truncate to milliseconds through to_json, and
+#: integer micros are the common Kafka payload convention anyway.
+#: The changelog `ts` column is TIMESTAMP_NTZ (a wall clock); the wire
+#: contract pins that wall clock to UTC via explicit NTZ epoch
+#: arithmetic (timestampdiff/timestampadd against TIMESTAMP_NTZ
+#: '1970-01-01') — NEVER via a cast through TIMESTAMP, which would
+#: round-trip through spark.sql.session.timeZone and shift every
+#: value when producer and consumer sessions disagree on timezone.
 BUS_VALUE_DDL = CHANGELOG_DDL.replace("ts timestamp", "ts_us long")
+
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 #: Kafka record wire shape (what .format("kafka") yields after
 #: CAST(value AS STRING))
@@ -56,7 +64,7 @@ def changelog_from_bus(records: DataFrame, value_schema: str = BUS_VALUE_DDL) ->
         & F.col("r.op").isNotNull()
     )
     out_cols = [
-        F.timestamp_micros(F.col("r.ts_us")).cast("timestamp_ntz").alias("ts")
+        F.expr(f"timestampadd(MICROSECOND, r.ts_us, {_NTZ_EPOCH})").alias("ts")
         if c == "ts"
         else F.col(f"r.{c}")
         for c in CHANGELOG_DDL.replace(",", " ").split()[::2]
@@ -67,7 +75,11 @@ def changelog_from_bus(records: DataFrame, value_schema: str = BUS_VALUE_DDL) ->
 def bus_records_from_changelog(df: DataFrame, topic: str = "canal.changes") -> DataFrame:
     """Encode changelog rows as bus records (producer side)."""
     payload_cols = [
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us") if c == "ts" else F.col(c)
+        F.expr(
+            f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, cast(ts as timestamp_ntz))"
+        ).alias("ts_us")
+        if c == "ts"
+        else F.col(c)
         for c in df.columns
     ]
     return df.select(

@@ -27,6 +27,32 @@ def test_bus_roundtrip_is_lossless(spark, changelog_dir):
     assert back.exceptAll(ch).count() == 0 and ch.exceptAll(back).count() == 0
 
 
+def test_bus_ts_roundtrip_is_timezone_independent(spark, changelog_dir):
+    """Wire ts_us is UTC epoch micros pinned by NTZ arithmetic: a
+    consumer session configured with a different timezone must decode
+    the exact producer wall clocks (regression for the cast-through-
+    session-timezone shift)."""
+    ch = spark.read.parquet(changelog_dir).limit(20)
+    # produce (materialize the wire JSON) under the default UTC session
+    wire_values = [r["value"] for r in bus_records_from_changelog(ch).collect()]
+    expected = {(r["doc_id"], r["lsn"]): r["ts"] for r in ch.collect()}
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # consume in a session pinned to a different timezone
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        wire = spark.createDataFrame(
+            [("t", 0, i, "k", v, None) for i, v in enumerate(wire_values)],
+            BUS_RECORD_DDL,
+        )
+        got = {
+            (r["doc_id"], r["lsn"]): r["ts"]
+            for r in changelog_from_bus(wire).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got == expected
+
+
 def test_bus_corrupt_records_dropped(spark, changelog_dir):
     ch = spark.read.parquet(changelog_dir).limit(5)
     good = bus_records_from_changelog(ch)

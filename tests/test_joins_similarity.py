@@ -116,6 +116,21 @@ def test_kmeans_centroids_deterministic_and_normalized(spark):
         assert abs(norm - 1.0) < 1e-9
 
 
+def test_kmeans_clamps_n_lists_to_tiny_corpus(spark):
+    """Corpus smaller than n_lists: the list count clamps to the
+    corpus size instead of raising IndexError, and IVF over the
+    clamped lists still answers (full coverage → exact)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 3)
+    cents = SIM.kmeans_centroids(emb, n_lists=16)
+    assert len(cents) == 3
+    out = SIM.ivf_bucketed_topk(emb, emb, k=2, n_lists=16, nprobe=16)
+    exact = SIM.brute_force_topk(emb, emb, k=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    got = out.select("query_id", "neighbor_id", "rank")
+    assert got.exceptAll(exact).count() == 0 and exact.exceptAll(got).count() == 0
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     """Probing every list makes IVF exact — the correctness anchor for
     the routing/scoring path."""

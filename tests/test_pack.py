@@ -62,6 +62,23 @@ def test_chunk_size_invariants(spark):
     assert sum(r["n"] for r in sizes) == total
 
 
+def test_pid_is_deterministic_literal_not_physical(spark):
+    """Regression: range membership must NOT come from
+    spark_partition_id() over repartitionByRange — RangePartitioner
+    re-samples boundaries per action, so the totals collect and the
+    output job could disagree on boundary rows. With literal bounds
+    the plan contains neither construct and repeated evaluations of
+    the SAME returned DataFrame are identical."""
+    d = _docs(spark)
+    got = pack_sequences(d, seq_len=512, num_partitions=7)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SPARK_PARTITION_ID" not in plan.upper()
+    assert "rangepartitioning" not in plan.lower()
+    first = {tuple(r) for r in got.collect()}
+    second = {tuple(r) for r in got.collect()}
+    assert first == second
+
+
 def test_plan_has_no_global_single_partition_sort(spark):
     plan = (
         pack_sequences(_docs(spark), seq_len=512)
