@@ -35,8 +35,35 @@ def entry(spark: SparkSession) -> DataFrame:
     ).select("key", "last_lsn", "last_value", "c_name", "c_mktsegment")
 
 
+#: queries the driver's 50-per-round sample has never covered (it takes
+#: the dict head): lead with them, then this round's new queries, then
+#: the long-green rest — pure reordering, every entry unchanged.
+_SAMPLE_FIRST = [
+    "asof_join_last_click",
+    "asof_join_nullable_values",
+    "flatmessage_roundtrip",
+    "range_join_ship_window",
+    "rollup_event_counts",
+    "running_frame_totals",
+    "session_window_counts",
+    "state_diff_intersect",
+    "windowed_event_counts",
+    "ann_ivf_topk",
+    "schema_evolution_replay",
+    "stateful_stream_gate",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "dedup_ngram_recall",
+    "ann_ivf_recall",
+    "mor_replay_modes_agree",
+    "refine_corpus",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    ordered = {n: QUERIES[n] for n in _SAMPLE_FIRST if n in QUERIES}
+    ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -9,7 +9,8 @@ Commands:
             (resumes from the committed checkpoints automatically)
   status    table position: epoch, schema version, per-partition
             checkpoints, per-client cursors, lineage totals
-  maintain  expire-snapshots / remove-orphans / compact-tombstones
+  maintain  expire-snapshots / remove-orphans / compact-tombstones /
+            compact-files (bin-pack + merge-on-read fragment fold)
 
 Every command is idempotent and crash-safe by construction (the engine
 commits atomically; re-running `replay` after completion is a no-op).
@@ -50,6 +51,7 @@ def cmd_replay(args) -> int:
         source_blacklist=args.blacklist,
         ddl_events_path=args.ddl_events,
         xa_mode=args.xa,
+        write_mode=args.write_mode,
     )
     if args.epochs_budget:
         eng.lsn_budget = eng.budget_for_epochs(args.epochs_budget)
@@ -100,6 +102,13 @@ def cmd_maintain(args) -> int:
         spark = _spark(args.master, args.cpus)
         eng = CdcEngine(spark, args.changelog, table)
         out["tombstones_dropped"] = eng.compact_tombstones()
+    if args.compact_files is not None:
+        spark = _spark(args.master, args.cpus)
+        packed = table.compact_files(spark, target_bytes=args.compact_files)
+        out["compacted_buckets"] = {
+            str(b): {"files_before": nb, "files_after": na}
+            for b, (nb, na) in packed.items()
+        }
     if args.gc:
         out["orphans_removed"] = table.remove_orphans(min_age_seconds=args.gc_min_age)
     print(json.dumps(out))
@@ -124,6 +133,10 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--blacklist", default=None)
     rp.add_argument("--ddl-events", default=None)
     rp.add_argument("--xa", action="store_true")
+    rp.add_argument("--write-mode", choices=("cow", "mor"), default="cow",
+                    help="cow: bucket-pruned copy-on-write merge per epoch; "
+                    "mor: merge-on-read — O(delta) fragment appends, resolve "
+                    "on read, fold with maintain --compact-files")
     rp.set_defaults(fn=cmd_replay)
 
     st = sub.add_parser("status", help="print table position/meta as JSON")
@@ -136,6 +149,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="rewrite the table into N hash buckets (full rewrite)")
     mt.add_argument("--expire-retain", type=int, default=None)
     mt.add_argument("--compact", action="store_true")
+    mt.add_argument("--compact-files", type=int, default=None, metavar="TARGET_BYTES",
+                    help="bin-pack fragmented buckets into ~TARGET_BYTES files "
+                    "(one commit epoch; resolves merge-on-read fragments). "
+                    "Superseded fragments stay referenced by older snapshots "
+                    "until --expire-retain/--gc reclaim them (same min-age "
+                    "guard as --gc applies to concurrent writers).")
     mt.add_argument("--changelog", default=None,
                     help="required with --compact (partition extents)")
     mt.add_argument("--gc", action="store_true")

@@ -81,6 +81,7 @@ class CdcEngine:
         ddl_events_path: str | None = None,
         xa_mode: bool = False,
         sinks: tuple = (),
+        write_mode: str = "cow",
     ):
         self.spark = spark
         self.changelog_path = changelog_path
@@ -111,6 +112,19 @@ class CdcEngine:
         # when the key set would make the driver-side broadcast build
         # (which is serial) the bottleneck or an OOM risk.
         self.broadcast_threshold_rows = broadcast_threshold_rows
+        #: epoch apply strategy. "cow" (default): bucket-pruned
+        #: copy-on-write merge — epoch cost O(touched buckets), scans
+        #: stay resolution-free. "mor": merge-on-read — the epoch
+        #: appends LWW-collapsed delta fragments in O(delta) time
+        #: (no old-state read, no merge joins; the update-heavy
+        #: write-amplification fix at 10^10 events), readers resolve by
+        #: `_seq`, and table.compact_files() periodically folds
+        #: fragments back into a resolved base. Both modes converge to
+        #: the same state (order-independent LWW) and interoperate:
+        #: a CoW epoch over a fragmented table rewrites resolved state.
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        self.write_mode = write_mode
         self._extents: dict[int, int] | None = None
 
     # ------------------------------------------------------------ plan
@@ -285,15 +299,22 @@ class CdcEngine:
                 with_seq=True,
                 winners=prep.winners,
             )
-            rewritten = merge_epoch(
-                self.spark,
-                self.table,
-                delta,
-                prep.epoch,
-                broadcast_delta=prep.small,
-                key_frame=prep.winners,
-                affected=prep.affected,
-            )
+            if self.write_mode == "mor":
+                from canal_spark.operators.merge import append_epoch
+
+                rewritten = append_epoch(
+                    self.spark, self.table, delta, prep.epoch, affected=prep.affected
+                )
+            else:
+                rewritten = merge_epoch(
+                    self.spark,
+                    self.table,
+                    delta,
+                    prep.epoch,
+                    broadcast_delta=prep.small,
+                    key_frame=prep.winners,
+                    affected=prep.affected,
+                )
             for sink in self.sinks:
                 sink.apply(self.spark, delta, prep.epoch)
         except BaseException:
@@ -326,7 +347,9 @@ class CdcEngine:
             for r in lineage_rows
         ]
         n_events = sum(li["n_events"] for li in lineage)
-        committed = self.table.commit(epoch, rewritten, wms, lineage)
+        committed = self.table.commit(
+            epoch, rewritten, wms, lineage, append=(self.write_mode == "mor")
+        )
         return EpochResult(epoch, committed, n_events, wms)
 
     # ------------------------------------------------------ ddl stream

@@ -64,6 +64,52 @@ def align_to_schema(delta: DataFrame, schema_fields: list[dict], key: str) -> Da
     )
 
 
+def append_epoch(
+    spark: SparkSession,
+    table: SnapshotTable,
+    delta: DataFrame,
+    epoch: int,
+    affected: list[int] | None = None,
+) -> dict[int, list[str]]:
+    """Merge-on-read apply: write the LWW-collapsed delta as FRAGMENT
+    files appended to each touched bucket's file list, touching no
+    existing data (Iceberg MoR / delta-file commit). The write is
+    O(delta) — no old-state read, no anti/semi/resolve joins, no
+    broadcast — which is the point: at 10^10 events an update-heavy
+    epoch under copy-on-write rewrites whole buckets to change a few
+    rows (write amplification is the scale wall), while MoR commits in
+    delta time and defers the merge to readers
+    (SnapshotTable.read resolves by `_seq`) until `compact_files`
+    folds the fragments back into a resolved base.
+
+    Same crash model as merge_epoch: files land under epoch=N before
+    the commit; caller commits with append=True. `delta` must be
+    LWW-collapsed (unique key) with `op` and `_seq` columns.
+    """
+    snap = table.snapshot()
+    n_buckets = snap["n_buckets"]
+    key = snap["key_col"]
+    fields = snap["schemas"][str(snap["schema_ver"])]
+    delta = align_to_schema(
+        delta.withColumn("bucket", bucket_expr(key, n_buckets)), fields, key
+    )
+    if affected is None:
+        affected = sorted(
+            r["bucket"] for r in delta.select("bucket").distinct().collect()
+        )
+    if not affected:
+        return {}
+    out_dir = table.epoch_data_dir(epoch)
+    (
+        delta.repartition(len(affected), "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    files = table.list_epoch_files(epoch)
+    return {b: files.get(b, []) for b in affected}
+
+
 def merge_epoch(
     spark: SparkSession,
     table: SnapshotTable,

@@ -146,13 +146,24 @@ class SnapshotTable:
 
         Default reads hide merge metadata and filter tombstones;
         internal=True (the MERGE path) exposes `_seq`/`_tombstone` and
-        keeps tombstone rows."""
+        keeps tombstone rows.
+
+        Merge-on-read resolution: a bucket whose manifest lists more
+        than one file holds delta fragments (append_epoch) on top of
+        its base; the read keeps, per key, the row with the greatest
+        `_seq` BEFORE any tombstone filtering (a newer tombstone must
+        suppress an older live row, and a late fragment must never
+        resurrect one). Single-file buckets — the copy-on-write
+        steady state — skip resolution entirely, so CoW reads keep
+        their zero-shuffle scan shape."""
         snap = self.snapshot(epoch)
         current = snap["schemas"][str(snap["schema_ver"])]
         groups: dict[int, list[str]] = {}
+        needs_resolve = False
         for b, files in snap["files"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
+            needs_resolve = needs_resolve or len(files) > 1
             for fentry in files:
                 groups.setdefault(fentry["schema_ver"], []).append(
                     os.path.join(self.root, fentry["path"])
@@ -160,12 +171,29 @@ class SnapshotTable:
         parts = []
         for ver, paths in groups.items():
             df = spark.read.option("basePath", self.data_dir).parquet(*paths)
-            parts.append(self._normalize(df, snap, ver, with_bucket, internal))
+            parts.append(
+                self._normalize(
+                    df, snap, ver, with_bucket or needs_resolve, internal or needs_resolve
+                )
+            )
         if not parts:
             return self._empty(spark, current, with_bucket, internal)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if not needs_resolve:
+            return out
+        from pyspark.sql import Window
+
+        # one shuffle on the key — the MoR read tax; per-key group size
+        # is the fragment count (bounded by epochs since last
+        # compaction), never the event count, so there is no skew
+        w = Window.partitionBy(snap["key_col"]).orderBy(F.desc("_seq"))
+        out = out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        if not internal:
+            out = out.filter(~F.col("_tombstone")).drop("_seq", "_tombstone")
+        if not with_bucket:
+            out = out.drop("bucket")
         return out
 
     def _normalize(
@@ -213,6 +241,7 @@ class SnapshotTable:
         meta: dict | None = None,
         n_buckets_update: int | None = None,
         replace_all: bool = False,
+        append: bool = False,
     ) -> bool:
         """Atomically publish epoch `e`: carry forward untouched buckets,
         replace rewritten ones, merge checkpoints, append lineage.
@@ -221,6 +250,11 @@ class SnapshotTable:
         parent's (full-layout rewrites — see rebucket);
         `n_buckets_update` changes the bucket count from this snapshot
         on (only meaningful together with replace_all).
+
+        `append` EXTENDS the rewritten buckets' file lists instead of
+        replacing them (merge-on-read delta fragments — see
+        merge.append_epoch); reads resolve multi-fragment buckets by
+        `_seq` and compact_files folds them back into a single base.
 
         Returns False (no-op) if the snapshot already exists — idempotent
         re-apply. Enforces strictly sequential epochs (canal's sequential
@@ -238,9 +272,10 @@ class SnapshotTable:
             new_ver = schema_update["ver"]
             schemas[str(new_ver)] = schema_update["fields"]
         for b, paths in rewritten.items():
-            files[str(b)] = [
+            entries = [
                 {"path": os.path.relpath(p, self.root), "schema_ver": new_ver} for p in paths
             ]
+            files[str(b)] = (files.get(str(b), []) + entries) if append else entries
             if not files[str(b)]:
                 del files[str(b)]
         ckpts = dict(snap["checkpoints"])
@@ -389,6 +424,82 @@ class SnapshotTable:
         files = self.list_epoch_files(epoch)
         self.commit(epoch, {b: files.get(b, []) for b in buckets}, {}, [])
         return int(n_dead)
+
+    def compact_files(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+    ) -> dict[int, tuple[int, int]]:
+        """Bin-pack each bucket's accumulated small data files into
+        ~`target_bytes` files and publish the rewrite as ONE commit
+        epoch (Iceberg's `rewrite_data_files` binpack strategy, SURVEY
+        §7.2). A long-running CDC stream writes per-bucket files every
+        epoch; at 10^10 events a hot bucket accretes thousands of
+        fragments and scan cost becomes file-open-bound — this is the
+        first operational wall, and compaction is the standing repair.
+
+        Planning is pure driver-side file metadata (`os.path.getsize`
+        over the current snapshot's manifest — no data scan): bucket
+        `b` with `n` files totalling `s` bytes is compacted iff
+        `n > ceil(s / target_bytes)`, i.e. it is over-fragmented for
+        its data volume. Untouched buckets are carried forward by
+        reference, so the epoch cost is O(fragmented data), not
+        O(table).
+
+        Row content (including `_seq`/`_tombstone` merge metadata) is
+        preserved exactly; `read()` before and after is identical.
+        Crash model is the standard one: data files land under
+        `epoch=N` BEFORE the snapshot rename, so a crashed compaction
+        is invisible (orphans; re-run overwrites them deterministically)
+        and a completed compaction makes a re-run a no-op (every bucket
+        is then at its bin-packed file count). Earlier snapshots still
+        time-travel to the pre-compaction files until expired.
+
+        Returns {bucket: (files_before, files_after)} for the rewritten
+        buckets; empty dict = nothing to do (no epoch committed)."""
+        import math
+
+        snap = self.snapshot()
+        plan: dict[int, int] = {}
+        before: dict[int, int] = {}
+        for b, flist in snap["files"].items():
+            total = sum(
+                os.path.getsize(os.path.join(self.root, fe["path"])) for fe in flist
+            )
+            goal = max(1, math.ceil(total / target_bytes))
+            if len(flist) > goal:
+                plan[int(b)] = goal
+                before[int(b)] = len(flist)
+        if not plan:
+            return {}
+        epoch = snap["epoch"] + 1
+        buckets = sorted(plan)
+        cols = [f["name"] for f in snap["schemas"][str(snap["schema_ver"])]]
+        state = self.read(spark, buckets=buckets, internal=True)
+        # per-bucket output file count via a keyed slice: bucket b's rows
+        # spread over plan[b] slices; one shuffle keyed (bucket, slice),
+        # partitionBy then emits <= plan[b] files per bucket
+        slice_map = F.create_map(*[F.lit(x) for b in buckets for x in (b, plan[b])])
+        out = (
+            state.select(*cols, "_seq", "_tombstone", "bucket")
+            .withColumn(
+                "_slice",
+                F.pmod(F.xxhash64(F.col(snap["key_col"])), slice_map[F.col("bucket")]),
+            )
+            .repartition(sum(plan.values()), "bucket", "_slice")
+            .drop("_slice")
+        )
+        out_dir = self.epoch_data_dir(epoch)
+        out.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+        files = self.list_epoch_files(epoch)
+        self.commit(
+            epoch,
+            rewritten={b: files.get(b, []) for b in buckets},
+            checkpoints={},
+            lineage=[],
+            meta={"last_compaction_epoch": epoch},
+        )
+        return {b: (before[b], len(files.get(b, []))) for b in buckets}
 
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
         """Bucket-layout evolution: rewrite the table into

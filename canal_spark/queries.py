@@ -691,6 +691,83 @@ def dedup_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.8)
 
 
+RECALL_ORACLE = (
+    "SELECT CAST(10 AS BIGINT) AS n_planted, CAST(10 AS BIGINT) AS n_found, "
+    "TRUE AS all_found"
+)
+
+
+def _planted_recall(spark, pairs: DataFrame) -> DataFrame:
+    """Recall scalar over the 10 planted near-dup pairs, computed
+    entirely in Spark (semi-join of the planted set against the
+    detector's output) — the VALUES oracle then makes detector QUALITY
+    a driver-checked invariant, not just a pytest assertion."""
+    planted = spark.createDataFrame(
+        [(i, i + 100000) for i in range(10)], "id_a long, id_b long"
+    )
+    hits = planted.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    return hits.agg(
+        F.lit(10).cast("long").alias("n_planted"),
+        F.count("*").alias("n_found"),
+        (F.count("*") == 10).alias("all_found"),
+    )
+
+
+@q("dedup_minhash_recall", RECALL_ORACLE)
+def dedup_minhash_recall(spark, sf):
+    """MinHash+LSH must FIND all 10 planted near-dupes (P2 quality as
+    a driver-green check; mirrors tests/test_dedup_recall.py)."""
+    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    sh = DD.word_shingles(docs)
+    sig = DD.minhash_signatures(sh, num_perm=16)
+    pairs = DD.jaccard_verify(DD.lsh_candidate_pairs(sig, bands=4), sh, min_jaccard=0.5)
+    return _planted_recall(spark, pairs)
+
+
+@q("dedup_simhash_recall", RECALL_ORACLE)
+def dedup_simhash_recall(spark, sf):
+    """SimHash at radius 4 / 5 blocks finds all planted pairs (P3)."""
+    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    pairs = DD.simhash_near_pairs(DD.simhash(docs), max_hamming=4, blocks=5)
+    return _planted_recall(spark, pairs)
+
+
+@q("dedup_ngram_recall", RECALL_ORACLE)
+def dedup_ngram_recall(spark, sf):
+    """Word n-gram Jaccard (DF-capped candidate join) finds all planted
+    pairs (P4)."""
+    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.8)
+    return _planted_recall(spark, pairs)
+
+
+@q(
+    "ann_ivf_recall",
+    "SELECT CAST(8 AS BIGINT) AS n_lists, CAST(4 AS BIGINT) AS nprobe, "
+    "TRUE AS recall_floor_met",
+)
+def ann_ivf_recall(spark, sf):
+    """IVF recall vs brute force computed entirely in Spark (P8
+    quality): measured 0.70 (sf0.001) / 0.78 (sf0.01) against the 0.65
+    floor — the isotropic synthetic embeddings cap recall near
+    covered-mass (see tests/test_joins_similarity.py)."""
+    emb = load(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    approx = SIM.ivf_bucketed_topk(emb, qs, k=5, n_lists=8, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    n_tot = exact.agg(F.count("*").alias("n_tot"))
+    return n_hit.crossJoin(n_tot).select(
+        F.lit(8).cast("long").alias("n_lists"),
+        F.lit(4).cast("long").alias("nprobe"),
+        (F.col("n_hit") / F.col("n_tot") >= 0.65).alias("recall_floor_met"),
+    )
+
+
 ANN_SQL = """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 10),
@@ -764,6 +841,101 @@ def pack_sequences_q(spark, sf):
         "doc_id", F.col("n_chars").alias("n_tok")
     )
     return pack_sequences(d, seq_len=512)
+
+
+@q(
+    "mor_replay_modes_agree",
+    "SELECT TRUE AS states_identical, TRUE AS compaction_preserved_state, "
+    "TRUE AS fragments_folded",
+)
+def mor_replay_modes_agree(spark, sf):
+    """Merge-on-read vs copy-on-write replay of one deterministic
+    mini-changelog: the MoR resolved view must equal the CoW state
+    including `_seq`/`_tombstone`, compaction (compact_files) must fold
+    every fragment without changing a row, and the folded table must
+    still equal the CoW state. The invariants are computed entirely in
+    Spark; the VALUES oracle driver-checks them every round."""
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+
+    tmp = tempfile.mkdtemp(prefix="canal_mor_")
+    log = generate_changelog(
+        f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+    )
+    tc = SnapshotTable.create(f"{tmp}/cow", n_buckets=4)
+    CdcEngine(spark, log, tc, lsn_budget=500).run_to_completion()
+    tm = SnapshotTable.create(f"{tmp}/mor", n_buckets=4)
+    CdcEngine(spark, log, tm, lsn_budget=500, write_mode="mor").run_to_completion()
+    cow = tc.read(spark, internal=True)
+    mor = tm.read(spark, internal=True)
+    same1 = cow.exceptAll(mor).count() == 0 and mor.exceptAll(cow).count() == 0
+    packed = tm.compact_files(spark, target_bytes=1 << 30)
+    post = tm.read(spark, internal=True)
+    same2 = post.exceptAll(cow).count() == 0 and cow.exceptAll(post).count() == 0
+    folded = bool(packed) and all(
+        len(fs) == 1 for fs in tm.snapshot()["files"].values()
+    )
+    return spark.createDataFrame(
+        [(same1, same2, folded)],
+        "states_identical boolean, compaction_preserved_state boolean, "
+        "fragments_folded boolean",
+    )
+
+
+REFINE_SQL = """
+WITH kept AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
+scored AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tok,
+    LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
+    + CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+      / CAST(len(string_split(text, ' ')) AS DOUBLE)
+    - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      / CAST(LENGTH(text) AS DOUBLE) AS quality,
+    CASE WHEN strpos(text, ' the ') > 0 THEN 'en'
+         WHEN strpos(text, ' el ') > 0 THEN 'es'
+         WHEN strpos(text, ' le ') > 0 THEN 'fr'
+         WHEN strpos(text, ' der ') > 0 THEN 'de' ELSE 'und' END AS lang
+  FROM kept),
+survivors AS (SELECT doc_id, n_tok FROM scored WHERE quality >= 0.5 AND lang <> 'und'),
+o AS (SELECT doc_id, n_tok,
+        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      FROM survivors),
+c AS (SELECT doc_id, n_tok, s,
+        UNNEST(range(s // 512, (s + n_tok - 1) // 512 + 1)) AS chunk_id
+      FROM o WHERE n_tok > 0)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(LEAST(s + n_tok, (chunk_id + 1) * 512)
+            - GREATEST(s, chunk_id * 512) AS BIGINT) AS n_in_chunk
+FROM c
+"""
+
+
+@q("refine_corpus", REFINE_SQL)
+def refine_corpus(spark, sf):
+    """End-to-end corpus refinement, the P-family composed as ONE lazy
+    plan with no intermediate materialization: exact dedup (md5
+    groupBy + semi-join keep-min) -> quality + language gate (JVM
+    scan-only expressions) -> fixed-length sequence packing
+    (distributed prefix sum). The oracle replays the same deterministic
+    pipeline as a single DuckDB query."""
+    from canal_spark.operators.pack import pack_sequences
+
+    docs = load(spark, sf, "documents")
+    keep_ids = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
+    survivors = kept.filter(
+        (TX.quality_score("text") >= 0.5) & (TX.lang_id_heuristic("text") != "und")
+    ).select("doc_id", F.col("n_chars").cast("long").alias("n_tok"))
+    return pack_sequences(survivors, seq_len=512)
 
 
 WINNOW_SQL = """

@@ -56,3 +56,28 @@ def test_cli_replay_status_maintain_roundtrip(changelog_dir, tmp_path):
     # table still readable at the same row count
     st2 = _run("status", "--table", table)
     assert st2["epoch"] >= st["epoch"]
+
+
+def test_cli_mor_replay_then_compact_files(changelog_dir, tmp_path):
+    """Operator workflow for merge-on-read: budgeted MoR replay (cold
+    restart between invocations), then `maintain --compact-files` folds
+    the accumulated fragments in one commit epoch, then the replay
+    finishes against the compacted base and the final row count matches
+    a pure-CoW replay of the same changelog."""
+    table = str(tmp_path / "t")
+    r1 = _run(
+        "replay", "--changelog", changelog_dir, "--table", table,
+        "--buckets", "8", "--lsn-budget", "600", "--max-epochs", "3",
+        "--write-mode", "mor",
+    )
+    assert r1["final_epoch"] == 3
+    mt = _run("maintain", "--table", table, "--compact-files", str(1 << 30))
+    assert mt["compacted_buckets"], "MoR epochs must leave fragments to fold"
+    assert all(v["files_after"] == 1 for v in mt["compacted_buckets"].values())
+    r2 = _run("replay", "--changelog", changelog_dir, "--table", table,
+              "--lsn-budget", "1000000000", "--write-mode", "mor")
+    cow = _run("replay", "--changelog", changelog_dir,
+               "--table", str(tmp_path / "cow"), "--buckets", "8",
+               "--lsn-budget", "1000000000")
+    assert r2["rows"] == cow["rows"]
+    assert r2["checkpoints"] == cow["checkpoints"]

@@ -11,9 +11,9 @@ from canal_spark.plans.table import SnapshotTable
 from tests.conftest import assert_state_equals_oracle
 
 
-def _replay_many_epochs(spark, changelog_dir, root, lsn_budget=400):
+def _replay_many_epochs(spark, changelog_dir, root, lsn_budget=400, write_mode="cow"):
     table = SnapshotTable.create(root, n_buckets=8)
-    eng = CdcEngine(spark, changelog_dir, table, lsn_budget=lsn_budget)
+    eng = CdcEngine(spark, changelog_dir, table, lsn_budget=lsn_budget, write_mode=write_mode)
     eng.run_to_completion()
     return table, eng
 
@@ -216,6 +216,109 @@ def test_engine_compact_wrapper_uses_full_partition_set(spark, changelog_dir, or
     dropped = eng.compact_tombstones()
     assert dropped > 0
     assert_state_equals_oracle(table.read(spark), oracle_state)
+
+
+def test_compact_files_binpacks_and_preserves_state(
+    spark, changelog_dir, oracle_state, tmp_path
+):
+    """Many small merge-on-read epochs fragment every bucket (one delta
+    file per touched bucket per epoch); compact_files bin-packs each
+    over-fragmented bucket as ONE commit epoch with read() output
+    identical (including merge metadata), file counts at the bin-pack
+    bound, and a second compaction a no-op."""
+    table, eng = _replay_many_epochs(
+        spark, changelog_dir, str(tmp_path / "tc"), write_mode="mor"
+    )
+    pre_epoch = table.current_epoch()
+    snap = table.snapshot()
+    frag = {int(b): len(fs) for b, fs in snap["files"].items()}
+    assert max(frag.values()) >= 3, "fixture must fragment buckets"
+    before = sorted(
+        map(tuple, table.read(spark, internal=True).collect())
+    )
+
+    result = table.compact_files(spark, target_bytes=1 << 30)
+    assert result, "fragmented buckets must be compacted"
+    assert table.current_epoch() == pre_epoch + 1
+    snap2 = table.snapshot()
+    for b, fs in snap2["files"].items():
+        assert len(fs) == 1, f"bucket {b} not packed to 1 file: {len(fs)}"
+    after = sorted(
+        map(tuple, table.read(spark, internal=True).collect())
+    )
+    assert after == before, "compaction must not change row content"
+    assert_state_equals_oracle(table.read(spark), oracle_state)
+    # time travel to the pre-compaction snapshot still works
+    assert table.read(spark, epoch=pre_epoch).count() == table.read(spark).count()
+    # second compaction: everything already at the bin-pack bound
+    assert table.compact_files(spark, target_bytes=1 << 30) == {}
+    # replay re-apply after compaction is still a no-op
+    assert eng.run_epoch() is None
+
+
+def test_compact_files_respects_target_bytes(spark, changelog_dir, tmp_path):
+    """A tiny target splits a bucket into multiple output files: the
+    per-bucket count stays within the planned ceil(bytes/target)."""
+    import math
+    import os as _os
+
+    table, _ = _replay_many_epochs(
+        spark, changelog_dir, str(tmp_path / "tt"), write_mode="mor"
+    )
+    snap = table.snapshot()
+    target = 4096
+    goals = {}
+    for b, fs in snap["files"].items():
+        total = sum(
+            _os.path.getsize(_os.path.join(table.root, fe["path"])) for fe in fs
+        )
+        goals[int(b)] = max(1, math.ceil(total / target))
+    res = table.compact_files(spark, target_bytes=target)
+    snap2 = table.snapshot()
+    for b, (n_before, n_after) in res.items():
+        assert n_after <= goals[b], f"bucket {b}: {n_after} files > goal {goals[b]}"
+        assert len(snap2["files"][str(b)]) == n_after
+
+
+def test_crashed_compaction_is_invisible_and_rerunnable(
+    spark, changelog_dir, oracle_state, tmp_path
+):
+    """Crash between the data write and the snapshot rename: the
+    orphaned files are invisible to readers, a fresh run redoes the
+    compaction cleanly, and orphan GC collects the leftovers."""
+    root = str(tmp_path / "tx")
+    table, eng = _replay_many_epochs(spark, changelog_dir, root, write_mode="mor")
+    pre_epoch = table.current_epoch()
+    before = table.read(spark).toPandas()
+
+    real_commit = SnapshotTable.commit
+    try:
+        def _boom(self, *a, **k):
+            raise RuntimeError("simulated crash before manifest rename")
+
+        SnapshotTable.commit = _boom
+        try:
+            table.compact_files(spark, target_bytes=1 << 30)
+            raise AssertionError("expected simulated crash")
+        except RuntimeError:
+            pass
+    finally:
+        SnapshotTable.commit = real_commit
+
+    # nothing visible changed
+    assert table.current_epoch() == pre_epoch
+    assert len(table.read(spark).toPandas()) == len(before)
+    # re-run on a fresh handle completes the compaction
+    t2 = SnapshotTable(root)
+    assert t2.compact_files(spark, target_bytes=1 << 30)
+    assert t2.current_epoch() == pre_epoch + 1
+    assert_state_equals_oracle(t2.read(spark), oracle_state)
+    # replay continues cleanly after the repaired compaction
+    assert eng.run_epoch() is None
+    # expire + GC now reclaims the superseded fragments
+    t2.expire_snapshots(retain_last=1)
+    assert t2.remove_orphans() > 0
+    assert_state_equals_oracle(t2.read(spark), oracle_state)
 
 
 def test_rebucket_mid_replay_preserves_state_and_resume(
