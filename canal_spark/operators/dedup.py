@@ -258,7 +258,11 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
     )
-    sizes = ex.groupBy("_id").agg(F.count("*").alias("sz"))
+    # set sizes are a FREE narrow projection off the distinct'd shingle
+    # arrays — re-aggregating the exploded-gram relation here would be
+    # an avoidable corpus-scale shuffle (jaccard_verify's identical
+    # groupBy is fine because there `ex` is candidate-pruned first)
+    sizes = base.select("_id", F.size("shingles").alias("sz"))
     cands = (
         shared.join(sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
@@ -338,7 +342,19 @@ def char_ngram_jaccard_pairs(
 
     `block_col` is accepted for API compatibility and ignored: the
     band key already separates dissimilar documents regardless of
-    language."""
+    language.
+
+    Degenerate-universe caveat (measured): banding selectivity assumes
+    a large shingle universe. On a corpus whose char-n-gram universe is
+    tiny (the synthetic test corpus has only 388 distinct 3-grams, so
+    most documents share most grams), MinHash signatures concentrate
+    and ~82% of ALL pairs collide in some band at r=2 — the candidate
+    set becomes a large corpus fraction and the exact verify, while
+    keeping the ANSWER correct, does near-all-pairs work. Real text
+    corpora (universe ~alphabet^n, power-law gram frequencies) do not
+    look like this; if yours does, raise `n` (grows the universe
+    exponentially) or use word-unit `ngram_jaccard_pairs`, whose df
+    cap bounds the work regardless of universe size."""
     base = char_shingles(df, text_col=text_col, id_col=id_col, n=n)
     sig = minhash_signatures(base, id_col=id_col, num_perm=num_perm)
     pairs = lsh_candidate_pairs(sig, id_col=id_col, bands=bands)

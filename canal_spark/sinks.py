@@ -62,6 +62,71 @@ def flat_messages_from_delta(
     return delta.select(F.to_json(msg).alias("value"))
 
 
+class SinkMapping:
+    """Declarative per-sink ETL config — the transferable half of
+    canal's adapter SQL mapping ([C: client-adapter/es-core/.../
+    SqlParser.java :: main-table mapping]: each ES/RDB target declares
+    a projection/rename plus dimension joins over the change stream).
+
+    Applied to the epoch delta BEFORE fan-out, in this order:
+    1. `where`: SQL predicate over the delta (row routing);
+    2. `dim` + `on=(delta_col, dim_col)`: broadcast enrichment LEFT
+       join — the same J1 path the engine's enrichment queries use
+       (the dim is a small reference table; the delta side never
+       shuffles);
+    3. `columns`: {target_name: source_sql_expr} projection/rename
+       evaluated after the join, so targets can name dim columns.
+
+    Every piece is optional; an empty mapping is the identity. The
+    whole mapping stays one lazy JVM-side plan fragment per sink."""
+
+    def __init__(
+        self,
+        columns: dict[str, str] | None = None,
+        where: str | None = None,
+        dim: DataFrame | None = None,
+        on: tuple[str, str] | None = None,
+    ):
+        if (dim is None) != (on is None):
+            raise ValueError("dim and on must be given together")
+        self.columns = columns
+        self.where = where
+        self.dim = dim
+        self.on = on
+
+    def apply(self, delta: DataFrame) -> DataFrame:
+        out = delta
+        if self.where:
+            out = out.filter(F.expr(self.where))
+        if self.dim is not None:
+            dcol, mcol = self.on
+            out = out.join(
+                F.broadcast(self.dim), out[dcol] == self.dim[mcol], "left"
+            )
+        if self.columns:
+            out = out.select(
+                *[F.expr(src).alias(tgt) for tgt, src in self.columns.items()]
+            )
+        return out
+
+
+class MappedParquetSink:
+    """A store adapter driven entirely by a SinkMapping: the mapped
+    delta lands in epoch-keyed parquet (overwrite => idempotent per
+    epoch, same delivery contract as every sink here). The write
+    format is the swappable part; the mapping is the adapter logic."""
+
+    def __init__(self, out_dir: str, mapping: SinkMapping | None = None):
+        self.out_dir = out_dir
+        self.mapping = mapping or SinkMapping()
+
+    def epoch_dir(self, epoch: int) -> str:
+        return f"{self.out_dir}/epoch={epoch}"
+
+    def apply(self, spark: SparkSession, delta: DataFrame, epoch: int) -> None:
+        self.mapping.apply(delta).write.mode("overwrite").parquet(self.epoch_dir(epoch))
+
+
 class FlatMessageDirSink:
     """MQ-topic stand-in: epoch-keyed directories of FlatMessage JSON
     lines (swap the write for a Kafka producer `.format("kafka")` on a

@@ -52,6 +52,14 @@ CHECKS = [
     ("asof_join_nullable_values", ["Window"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     # frame-sample fan-out: Arrow-batched python map, no shuffle at all
     ("multimodal_frame_sample", ["MapInPandas"], ["Exchange", "CartesianProduct"]),
+    # composed refinement pipeline: ONE fused plan (dedup semi-join +
+    # scan-side quality/lang gate + prefix-sum packing) — hash aggs
+    # only, no sort aggregation, no nested loops, no global
+    # single-partition window (the packing stays distributed)
+    ("refine_corpus", ["HashAggregate"], ["SortAggregate", "BroadcastNestedLoopJoin", "CartesianProduct", "SinglePartition"]),
+    # pack_sequences after the literal-bounds rewrite: no physical-id
+    # dependence, no range re-sampling, no global sort
+    ("pack_sequences", [], ["SPARK_PARTITION_ID", "rangepartitioning", "SinglePartition"]),
 ]
 
 

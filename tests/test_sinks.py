@@ -92,6 +92,57 @@ def test_engine_sink_fanout_per_epoch_and_rerun_identical(spark, changelog_dir, 
     assert after == before
 
 
+def test_two_sinks_with_different_mappings_from_one_delta(
+    spark, changelog_dir, tmp_path
+):
+    """Canal adapter analog: one epoch delta fans out to two stores
+    with DIFFERENT declarative mappings — a renamed projection with a
+    routing filter, and a broadcast dim-enriched shape. The enrichment
+    join must be the broadcast J1 path (no shuffle of the delta)."""
+    from canal_spark.sinks import MappedParquetSink, SinkMapping
+
+    dim = spark.createDataFrame(
+        [(f"src{i}", f"tier-{i % 3}") for i in range(10)],
+        "src string, tier string",
+    )
+    s1 = MappedParquetSink(
+        str(tmp_path / "narrow"),
+        SinkMapping(
+            columns={"pk": "doc_id", "token_count": "n_tok", "kind": "op"},
+            where="op <> 'DELETE'",
+        ),
+    )
+    s2 = MappedParquetSink(
+        str(tmp_path / "enriched"),
+        SinkMapping(
+            columns={"pk": "doc_id", "tier": "tier", "seq": "_seq"},
+            dim=dim,
+            on=("source", "src"),
+        ),
+    )
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    eng = CdcEngine(spark, changelog_dir, table, lsn_budget=10**9, sinks=(s1, s2))
+    eng.run_to_completion()
+
+    narrow = spark.read.parquet(s1.epoch_dir(1))
+    assert narrow.columns == ["pk", "token_count", "kind"]
+    assert narrow.filter(F.col("kind") == "DELETE").count() == 0
+    enriched = spark.read.parquet(s2.epoch_dir(1))
+    assert enriched.columns == ["pk", "tier", "seq"]
+    assert enriched.filter(F.col("tier").isNull()).count() == 0
+    # same delta, different shapes: DELETE winners appear only in s2
+    assert enriched.count() > narrow.count()
+    # the enrichment is the broadcast J1 path
+    plan = (
+        SinkMapping(dim=dim, on=("source", "src"))
+        .apply(_delta(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_streaming_sink_fanout(spark, changelog_dir, tmp_path):
     from canal_spark.streaming.stream import StreamingUpsert
 
