@@ -57,6 +57,9 @@ _SAMPLE_FIRST = [
     "ann_ivf_recall",
     "mor_replay_modes_agree",
     "refine_corpus",
+    "pii_scrub",
+    "vocab_top_terms",
+    "contamination_overlap",
 ]
 
 

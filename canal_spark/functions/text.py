@@ -83,6 +83,73 @@ def fingerprint(text: str | Column = "text", salt: str | Column | None = None) -
     return F.md5(c)
 
 
+#: PII patterns, Java∩RE2 common subset (portable to the DuckDB oracle
+#: verbatim; DuckDB needs the 'g' flag — its regexp_replace defaults
+#: to first-match-only, Spark's replaces all)
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(text: str | Column = "text") -> Column:
+    """Redact email addresses and NNN-NNN-NNNN phone numbers — the
+    minimal deterministic PII pass a training-data pipeline runs before
+    anything else. Pure JVM regexp_replace (scan-only, codegen); the
+    pattern list is the policy surface — extend with the same shape."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, PII_EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_PATTERN, "<PHONE>")
+
+
+def vocab_top_terms(df, text_col: str = "text", k: int = 20):
+    """(term, n) — the corpus's k most frequent whitespace tokens with
+    a deterministic tie-break (n DESC, term ASC). Scale shape: explode
+    → hash groupBy with map-side partial aggregation (the aggregated
+    relation is vocabulary-sized, orders of magnitude below the token
+    stream), then orderBy+limit compiles to TakeOrdered — a per-
+    partition top-k merge, never a global sort of the vocabulary."""
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def benchmark_contamination(
+    df,
+    benchmark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+):
+    """(id, n_shared) — corpus documents sharing at least one word
+    n-gram with any benchmark document: the train/test contamination
+    check every training corpus needs before a benchmark claim.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (eval suites are thousands of documents, the corpus is billions),
+    so it is collected into a broadcast hash relation and the corpus
+    gram stream probes it — no shuffle of the corpus side at all;
+    `n_shared` counts DISTINCT shared grams per document (dedup'd
+    before the join, so a repeated gram cannot double-count)."""
+    from canal_spark.operators.dedup import word_shingles
+
+    bench_grams = (
+        word_shingles(benchmark, text_col=text_col, w=n)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    corpus = word_shingles(df, text_col=text_col, w=n).select(
+        F.col(id_col), F.explode(F.array_distinct("shingles")).alias("g")
+    )
+    return (
+        corpus.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def winnowing_fingerprints(
     df,
     text_col: str = "text",

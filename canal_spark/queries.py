@@ -1002,6 +1002,77 @@ def token_count(spark, sf):
     )
 
 
+PII_SQL = (
+    "SELECT doc_id, regexp_replace(regexp_replace("
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com tel 555-867-5309', "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean FROM documents"
+)
+
+
+@q("pii_scrub", PII_SQL)
+def pii_scrub_q(spark, sf):
+    """PII redaction over the corpus with deterministically planted
+    emails/phones (the synthetic corpus has none, so the query plants
+    one of each per doc — proving the scrub, not the absence)."""
+    docs = load(spark, sf, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-867-5309"),
+    )
+    return docs.select("doc_id", TX.pii_scrub(planted).alias("clean"))
+
+
+VOCAB_SQL = """
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
+"""
+
+
+@q("vocab_top_terms", VOCAB_SQL)
+def vocab_top_terms_q(spark, sf):
+    return TX.vocab_top_terms(load(spark, sf, "documents"), k=20)
+
+
+CONTAM_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id < 10),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 8
+              THEN list_transform(range(1, len(w) - 8 + 2),
+                                  i -> array_to_string(w[i:i+7], ' '))
+              ELSE [array_to_string(w, ' ')] END AS grams
+  FROM toks),
+b AS (SELECT DISTINCT UNNEST(grams) AS gr FROM g WHERE doc_id < 5),
+c AS (SELECT doc_id, UNNEST(list_distinct(grams)) AS gr FROM g WHERE doc_id >= 5)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM c JOIN b USING (gr) GROUP BY c.doc_id
+"""
+
+
+@q("contamination_overlap", CONTAM_SQL)
+def contamination_overlap(spark, sf):
+    """Train/test contamination: docs sharing any word 8-gram with the
+    'benchmark' set (stand-in: docs 0-4). The corpus's natural 8-grams
+    never repeat across documents, so contaminated docs are PLANTED
+    (the near-dup fixture: docs 100000-100004 embed benchmark texts;
+    100005+ embed non-benchmark texts and must NOT flag). Benchmark
+    grams broadcast; the corpus side never shuffles."""
+    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    bench = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    return TX.benchmark_contamination(corpus, bench, n=8)
+
+
 @q(
     "doc_fingerprint",
     "SELECT doc_id, md5(concat(lang, ':', text)) AS fp FROM documents",

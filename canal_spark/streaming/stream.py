@@ -45,12 +45,21 @@ class StreamingUpsert:
         table: SnapshotTable,
         xa_mode: bool = False,
         sinks: tuple = (),
+        write_mode: str = "cow",
     ):
         self.spark = spark
         self.table = table
         self.xa_mode = xa_mode
         #: same OuterAdapter fan-out contract as CdcEngine.sinks
         self.sinks = tuple(sinks)
+        #: same semantics as CdcEngine.write_mode: "mor" appends the
+        #: micro-batch delta as O(delta) fragments (the low-latency
+        #: choice for a stream — commit time no longer scales with
+        #: touched-bucket size) and defers merging to readers +
+        #: compact_files; "cow" keeps resolution-free scans
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        self.write_mode = write_mode
 
     # ------------------------------------------------------------ batch
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
@@ -113,7 +122,12 @@ class StreamingUpsert:
             .collect()
         )
         delta = lww_collapse(apply_df, key="doc_id", payload_cols=PAYLOAD_COLS, with_seq=True)
-        rewritten = merge_epoch(self.spark, self.table, delta, epoch)
+        if self.write_mode == "mor":
+            from canal_spark.operators.merge import append_epoch
+
+            rewritten = append_epoch(self.spark, self.table, delta, epoch)
+        else:
+            rewritten = merge_epoch(self.spark, self.table, delta, epoch)
         for sink in self.sinks:
             sink.apply(self.spark, delta, epoch)
         lineage = [
@@ -138,6 +152,7 @@ class StreamingUpsert:
             lineage,
             pending=pending_files,
             meta={"stream_batch_id": batch_id},
+            append=(self.write_mode == "mor"),
         )
 
     # ------------------------------------------------------------ start

@@ -99,6 +99,54 @@ def test_cow_epoch_over_fragmented_table_resolves(spark, changelog_dir, oracle_s
     assert_state_equals_oracle(SnapshotTable(root).read(spark), oracle_state)
 
 
+def test_mor_with_ddl_stream_and_compaction(spark, changelog_dir, oracle_state, tmp_path):
+    """Schema evolution under merge-on-read: fragments written under
+    DIFFERENT schema versions coexist in one bucket; the read
+    normalizes each by field id before `_seq` resolution, and
+    compaction rewrites everything under the current version while
+    preserving the resolved state."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.sources.changelog import generate_ddl_events
+
+    df = pq.read_table(changelog_dir).to_pandas()
+    b0 = sorted(int(x) for x in df[(df.source_partition == 0) & df.tx_commit].lsn)
+    ddls = [
+        {
+            "lsn": b0[len(b0) // 2] + 1,
+            "source_partition": 0,
+            "kind": "RENAME_COLUMN",
+            "payload": {"from": "source", "to": "origin"},
+        },
+    ]
+    ddl_path = generate_ddl_events(str(tmp_path / "ddl"), ddls)
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    eng = CdcEngine(
+        spark, changelog_dir, table, lsn_budget=400,
+        ddl_events_path=ddl_path, write_mode="mor",
+    )
+    eng.run_to_completion()
+    assert eng.run_epoch() is None
+    snap = table.snapshot()
+    assert snap["schema_ver"] == 2
+    # mixed-version fragments actually exist pre-compaction
+    vers = {fe["schema_ver"] for fs in snap["files"].values() for fe in fs}
+    assert vers == {1, 2}
+    out = table.read(spark, with_bucket=False)
+    assert out.columns == ["doc_id", "tokens", "n_tok", "origin"]
+    got = out.select("doc_id", "tokens", "n_tok", F.col("origin").alias("source"))
+    assert_state_equals_oracle(got, oracle_state)
+
+    assert table.compact_files(spark, target_bytes=1 << 30)
+    snap2 = table.snapshot()
+    vers2 = {fe["schema_ver"] for fs in snap2["files"].values() for fe in fs}
+    assert vers2 == {2}, "compaction must rewrite under the current schema"
+    got2 = table.read(spark, with_bucket=False).select(
+        "doc_id", "tokens", "n_tok", F.col("origin").alias("source")
+    )
+    assert_state_equals_oracle(got2, oracle_state)
+
+
 def test_cow_read_path_stays_resolution_free(spark, changelog_dir, tmp_path):
     """The MoR read tax (a key-partitioned window) must not leak into
     copy-on-write tables: single-file buckets read as a plain scan."""

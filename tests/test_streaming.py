@@ -27,6 +27,27 @@ def test_stream_replay_matches_oracle(spark, changelog_dir, oracle_state, tmp_pa
     assert pending is not None and pending.filter("tx_commit").count() == 0
 
 
+def test_stream_mor_replay_matches_oracle_and_compacts(
+    spark, changelog_dir, oracle_state, tmp_path
+):
+    """Streaming merge-on-read: every micro-batch appends fragments
+    (low-latency commits), the resolved view matches the oracle, and
+    compact_files folds the stream's fragment pile."""
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    su = StreamingUpsert(spark, table, write_mode="mor")
+    q = su.start(changelog_dir, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(300)
+    assert table.current_epoch() == 4
+    snap = table.snapshot()
+    assert max(len(fs) for fs in snap["files"].values()) >= 2
+    assert_state_equals_oracle(table.read(spark), oracle_state)
+    assert table.compact_files(spark, target_bytes=1 << 30)
+    assert all(len(fs) == 1 for fs in table.snapshot()["files"].values())
+    assert_state_equals_oracle(table.read(spark), oracle_state)
+    # redelivery after compaction still a no-op
+    assert su.apply_batch(spark.read.parquet(changelog_dir), batch_id=0) is False
+
+
 def test_stream_batch_redelivery_is_noop(spark, changelog_dir, oracle_state, tmp_path):
     table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
     su = _run_stream(spark, changelog_dir, table, str(tmp_path / "ckpt"))
