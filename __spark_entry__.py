@@ -60,6 +60,7 @@ _SAMPLE_FIRST = [
     "pii_scrub",
     "vocab_top_terms",
     "contamination_overlap",
+    "incremental_changes_consistent",
 ]
 
 

@@ -187,7 +187,12 @@ class SnapshotTable:
 
         # one shuffle on the key — the MoR read tax; per-key group size
         # is the fragment count (bounded by epochs since last
-        # compaction), never the event count, so there is no skew
+        # compaction), never the event count, so there is no skew.
+        # (The LWW-style max-agg + winner-join resolution was measured
+        # and REJECTED here: 0.59-0.83 s vs 0.40-0.47 s for the window
+        # at 8M-event/299-fragment scale — unlike the epoch hot path,
+        # per-key groups are tiny, so the window's sort is cheap and
+        # the extra aggregation pass + join probe is pure overhead.)
         w = Window.partitionBy(snap["key_col"]).orderBy(F.desc("_seq"))
         out = out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
         if not internal:
@@ -308,6 +313,67 @@ class SnapshotTable:
         (streaming mode), or None."""
         paths = [os.path.join(self.root, p) for p in self.snapshot().get("pending", [])]
         return spark.read.parquet(*paths) if paths else None
+
+    def read_changes(
+        self, spark: SparkSession, from_epoch: int, to_epoch: int | None = None
+    ) -> DataFrame:
+        """Net row-level changes between two snapshots, as a changelog
+        (Delta CDF / Iceberg incremental-read analog): one row per key
+        whose VISIBLE state differs between `from_epoch` and
+        `to_epoch`, with `op` INSERT / UPDATE / DELETE and the new
+        image (NULL payload for DELETE). This is the table-as-a-source
+        feed: a downstream consumer (e.g. an incremental training-data
+        refresh) holding state as of `from_epoch` applies exactly these
+        rows to reach `to_epoch` — no full-table rescan, no replaying
+        the raw changelog.
+
+        Change detection is by `_seq` (the stored event version), so
+        file-level rewrites that do not change logical rows —
+        compaction, rebucket, schema-only epochs — emit NOTHING.
+        Net semantics: intermediate flaps between the two epochs
+        (insert→delete, repeated updates) collapse to the net effect;
+        a key that is tombstoned in both snapshots is no change.
+
+        Scale shape: one full-outer join of the two snapshots keyed on
+        the key column — both sides bucket-pruned file sets; payload
+        columns ride only on the new side. Cost is O(|a| + |b|), the
+        floor for snapshot differencing without a change index.
+        """
+        key = self.snapshot()["key_col"]
+        cols = [
+            f["name"]
+            for f in self.snapshot(to_epoch)["schemas"][
+                str(self.snapshot(to_epoch)["schema_ver"])
+            ]
+            if f["name"] != key
+        ]
+        a = self.read(spark, epoch=from_epoch, with_bucket=False, internal=True).select(
+            key, F.col("_seq").alias("_seq_a"), F.col("_tombstone").alias("_tomb_a")
+        )
+        b = self.read(spark, epoch=to_epoch, with_bucket=False, internal=True).select(
+            key, *cols, F.col("_seq").alias("_seq_b"), F.col("_tombstone").alias("_tomb_b")
+        )
+        j = b.join(a, key, "full_outer")
+        vis_a = F.col("_seq_a").isNotNull() & ~F.coalesce(F.col("_tomb_a"), F.lit(True))
+        vis_b = F.col("_seq_b").isNotNull() & ~F.coalesce(F.col("_tomb_b"), F.lit(True))
+        op = (
+            F.when(vis_b & ~vis_a, F.lit("INSERT"))
+            .when(vis_b & vis_a & (F.col("_seq_b") != F.col("_seq_a")), F.lit("UPDATE"))
+            .when(~vis_b & vis_a, F.lit("DELETE"))
+        )
+        return (
+            j.withColumn("op", op)
+            .filter(F.col("op").isNotNull())
+            .select(
+                key,
+                "op",
+                *[
+                    F.when(F.col("op") != "DELETE", F.col(c)).alias(c)
+                    for c in cols
+                ],
+                F.coalesce(F.col("_seq_b"), F.col("_seq_a")).alias("_seq"),
+            )
+        )
 
     # ------------------------------------------------- maintenance / GC
     def expire_snapshots(self, retain_last: int = 2) -> list[int]:

@@ -885,6 +885,51 @@ def mor_replay_modes_agree(spark, sf):
     )
 
 
+@q(
+    "incremental_changes_consistent",
+    "SELECT TRUE AS reconstructs_snapshot, TRUE AS noop_epochs_emit_nothing, "
+    "TRUE AS deletes_present",
+)
+def incremental_changes_consistent(spark, sf):
+    """Incremental change feed (table-as-a-source, Delta-CDF analog):
+    read_changes(a, b) applied to snapshot a must reconstruct snapshot
+    b exactly; a compaction epoch must emit zero changes; the feed
+    carries DELETEs. Invariants computed in Spark over a deterministic
+    mini-replay; VALUES oracle driver-checks them."""
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+
+    tmp = tempfile.mkdtemp(prefix="canal_cdf_")
+    log = generate_changelog(
+        f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+    )
+    table = SnapshotTable.create(f"{tmp}/t", n_buckets=4)
+    eng = CdcEngine(spark, log, table, lsn_budget=500, write_mode="mor")
+    eng.run_epoch()
+    e1 = table.current_epoch()
+    eng.run_to_completion()
+    final = table.current_epoch()
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    changes = table.read_changes(spark, e1, final)
+    a = table.read(spark, epoch=e1, with_bucket=False).select(*cols)
+    reconstructed = a.join(changes.select("doc_id"), "doc_id", "left_anti").unionByName(
+        changes.filter(F.col("op") != "DELETE").select(*cols)
+    )
+    b = table.read(spark, epoch=final, with_bucket=False).select(*cols)
+    ok1 = reconstructed.exceptAll(b).count() == 0 and b.exceptAll(reconstructed).count() == 0
+    deletes_present = changes.filter(F.col("op") == "DELETE").count() > 0
+    table.compact_files(spark, target_bytes=1 << 30)
+    ok2 = table.read_changes(spark, final, table.current_epoch()).count() == 0
+    return spark.createDataFrame(
+        [(ok1, ok2, deletes_present)],
+        "reconstructs_snapshot boolean, noop_epochs_emit_nothing boolean, "
+        "deletes_present boolean",
+    )
+
+
 REFINE_SQL = """
 WITH kept AS (
   SELECT doc_id, text, n_chars FROM documents
