@@ -61,6 +61,8 @@ _SAMPLE_FIRST = [
     "vocab_top_terms",
     "contamination_overlap",
     "incremental_changes_consistent",
+    "train_val_split",
+    "leakage_free_split",
 ]
 
 

@@ -150,6 +150,33 @@ def benchmark_contamination(
     )
 
 
+def train_val_split(
+    df,
+    val_frac: float = 0.1,
+    id_col: str = "doc_id",
+    group_expr: Column | None = None,
+):
+    """Adds `split` ('train' | 'val'): deterministic held-out
+    assignment by hash threshold — md5 hex of the key compared against
+    the first 8 hex digits of `val_frac * 16^8`. Pure scan-side
+    expression: no sampling state, no shuffle, reproducible across
+    engines (md5 hex and lexicographic compare are byte-identical in
+    Spark and DuckDB) and across runs/partitionings by construction.
+
+    `group_expr` keys the hash by a GROUP instead of the row id — pass
+    `F.md5(F.col("text"))` (exact-dup groups) or a near-dup cluster id
+    to keep every member of a duplicate group in the SAME split: the
+    leakage-free split a training pipeline actually needs (a val doc's
+    near-copy in train is contamination)."""
+    k = 8
+    thr = format(int(val_frac * 16**k), f"0{k}x")
+    key = group_expr if group_expr is not None else F.col(id_col).cast("string")
+    return df.withColumn(
+        "split",
+        F.when(F.substring(F.md5(key), 1, k) < F.lit(thr), "val").otherwise("train"),
+    )
+
+
 def winnowing_fingerprints(
     df,
     text_col: str = "text",

@@ -1118,6 +1118,63 @@ def contamination_overlap(spark, sf):
     return TX.benchmark_contamination(corpus, bench, n=8)
 
 
+SPLIT_THR = format(int(0.1 * 16**8), "08x")
+
+SPLIT_SQL = (
+    f"SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+    f"< '{SPLIT_THR}' THEN 'val' ELSE 'train' END AS split FROM documents"
+)
+
+
+@q("train_val_split", SPLIT_SQL)
+def train_val_split_q(spark, sf):
+    return TX.train_val_split(load(spark, sf, "documents"), val_frac=0.1).select(
+        "doc_id", "split"
+    )
+
+
+GROUP_SPLIT_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text AS text FROM documents WHERE doc_id < 10),
+s AS (SELECT doc_id,
+        CASE WHEN substring(md5(md5(text)), 1, 8) < '{thr}'
+             THEN 'val' ELSE 'train' END AS split
+      FROM all_docs)
+SELECT g.n_groups_split AS n_groups_split, s2.n_val > 0 AS has_val
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups_split FROM (
+        SELECT 1 FROM s JOIN all_docs USING (doc_id)
+        GROUP BY md5(text) HAVING COUNT(DISTINCT split) > 1)) g,
+     (SELECT CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_val FROM s) s2
+""".replace("{thr}", SPLIT_THR)
+
+
+@q("leakage_free_split", GROUP_SPLIT_SQL)
+def leakage_free_split(spark, sf):
+    """Group-aware split with planted EXACT duplicates (docs 100000+
+    copy docs 0-9 verbatim): hashing by the content fingerprint must
+    put every duplicate group wholly in one split — n_groups_split
+    (groups straddling train/val) must be 0."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    all_docs = docs.unionByName(dupes)
+    s = TX.train_val_split(all_docs, val_frac=0.1, group_expr=F.md5(F.col("text")))
+    straddling = (
+        s.groupBy(F.md5("text"))
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count("*").alias("n_groups_split"))
+    )
+    has_val = s.agg(
+        (F.sum((F.col("split") == "val").cast("long")) > 0).alias("has_val")
+    )
+    return straddling.crossJoin(has_val)
+
+
 @q(
     "doc_fingerprint",
     "SELECT doc_id, md5(concat(lang, ':', text)) AS fp FROM documents",
