@@ -63,7 +63,8 @@ for run in range(runs):
     tbl = os.path.join(shm, f"scaling_table_{cores}"); shutil.rmtree(tbl, ignore_errors=True)
     table = SnapshotTable.create(tbl, n_buckets=64)
     thr = int(os.environ.get("CANAL_BCAST_THRESHOLD", "4000000"))
-    eng = CdcEngine(spark, log, table, lsn_budget=1, broadcast_threshold_rows=thr)
+    eng = CdcEngine(spark, log, table, lsn_budget=1, broadcast_threshold_rows=thr,
+                    write_mode=os.environ.get("CANAL_SCALING_WRITE_MODE", "cow"))
     _ = eng.extents
     eng.lsn_budget = eng.budget_for_epochs(epochs)  # exactly `epochs` epochs, no stub tail
     t0 = time.monotonic(); eng.run_to_completion(); wall = time.monotonic() - t0
@@ -95,6 +96,8 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=7)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--cores", default="2,8,32")
+    ap.add_argument("--write-mode", choices=("cow", "mor"), default="cow",
+                    help="epoch apply strategy for the measured replay")
     ap.add_argument("--out", default="scaling_result.json")
     args = ap.parse_args()
 
@@ -117,6 +120,7 @@ def main() -> None:
     zip_path = "/tmp/canal_spark_bench.zip"
     subprocess.run(["zip", "-qr", zip_path, "canal_spark"], cwd=REPO, check=True)
 
+    os.environ["CANAL_SCALING_WRITE_MODE"] = args.write_mode
     out = {}
     for cores in [int(c) for c in args.cores.split(",")]:
         print(f"== local[{cores}] ==", flush=True)
@@ -141,6 +145,7 @@ def main() -> None:
         print(json.dumps(out[cores]["best"]), flush=True)
 
     report = {"n_events": args.events, "n_keys": spec.n_keys,
+              "write_mode": args.write_mode,
               "levels": {c: v for c, v in out.items()}}
     if 2 in out and 8 in out:
         s = out[8]["best"]["events_per_sec"] / out[2]["best"]["events_per_sec"]
