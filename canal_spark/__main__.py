@@ -52,6 +52,7 @@ def cmd_replay(args) -> int:
         ddl_events_path=args.ddl_events,
         xa_mode=args.xa,
         write_mode=args.write_mode,
+        auto_compact_fragments=args.auto_compact_fragments,
     )
     if args.epochs_budget:
         eng.lsn_budget = eng.budget_for_epochs(args.epochs_budget)
@@ -137,6 +138,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="cow: bucket-pruned copy-on-write merge per epoch; "
                     "mor: merge-on-read — O(delta) fragment appends, resolve "
                     "on read, fold with maintain --compact-files")
+    rp.add_argument("--auto-compact-fragments", type=int, default=None,
+                    help="with --write-mode mor: fold a bucket's fragments "
+                    "(compact_files) whenever its file count reaches N")
     rp.set_defaults(fn=cmd_replay)
 
     st = sub.add_parser("status", help="print table position/meta as JSON")

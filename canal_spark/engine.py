@@ -82,6 +82,8 @@ class CdcEngine:
         xa_mode: bool = False,
         sinks: tuple = (),
         write_mode: str = "cow",
+        auto_compact_fragments: int | None = None,
+        compact_target_bytes: int = 128 << 20,
     ):
         self.spark = spark
         self.changelog_path = changelog_path
@@ -125,6 +127,19 @@ class CdcEngine:
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         self.write_mode = write_mode
+        #: standing maintenance for long MoR runs: after an epoch
+        #: commits, if any bucket's fragment count reaches this
+        #: threshold, fold it with compact_files as the next epoch —
+        #: the guardrail that keeps a months-long CDC stream from
+        #: walking into the small-file wall. None (default) = manual
+        #: compaction only. With this set, run_to_completion uses the
+        #: unpipelined loop (a compaction epoch may slot in between any
+        #: two DML epochs, so e+1's number is not known before e
+        #: commits — same reasoning as the DDL bridge; MoR epochs are
+        #: cheap, the pipelining gain at that size is noise, measured
+        #: in BENCH/BASELINE.md §DDL-bridge).
+        self.auto_compact_fragments = auto_compact_fragments
+        self.compact_target_bytes = compact_target_bytes
         self._extents: dict[int, int] | None = None
 
     # ------------------------------------------------------------ plan
@@ -454,7 +469,21 @@ class CdcEngine:
                     )
                 )
             return None
-        return self._execute(prep)
+        result = self._execute(prep)
+        self._maybe_auto_compact()
+        return result
+
+    def _maybe_auto_compact(self) -> None:
+        """Fold fragments when any bucket hits the configured
+        threshold. The trigger check is pure snapshot metadata (no
+        Spark job); the compaction itself is its own commit epoch."""
+        if self.auto_compact_fragments is None:
+            return
+        snap = self.table.snapshot()
+        if any(
+            len(fs) >= self.auto_compact_fragments for fs in snap["files"].values()
+        ):
+            self.table.compact_files(self.spark, target_bytes=self.compact_target_bytes)
 
     def run_to_completion(self, max_epochs: int = 10_000) -> int:
         """Replay the whole changelog; returns the final epoch number.
@@ -474,7 +503,7 @@ class CdcEngine:
         rare; simplicity wins over overlap here."""
         import threading
 
-        if self.ddl_events_path:
+        if self.ddl_events_path or self.auto_compact_fragments is not None:
             for _ in range(max_epochs):
                 if self.run_epoch() is None:
                     break

@@ -60,6 +60,18 @@ CHECKS = [
     # pack_sequences after the literal-bounds rewrite: no physical-id
     # dependence, no range re-sampling, no global sort
     ("pack_sequences", [], ["SPARK_PARTITION_ID", "rangepartitioning", "SinglePartition"]),
+    # PII scrub is scan-only: regexp_replace inside the scan projection,
+    # zero exchanges
+    ("pii_scrub", [], ["Exchange", "SortAggregate"]),
+    # top-k vocabulary: hash agg with map-side partials, then
+    # TakeOrdered (per-partition top-k merge) — never a global sort of
+    # the vocabulary
+    ("vocab_top_terms", ["HashAggregate", "TakeOrderedAndProject"], ["SortAggregate"]),
+    # contamination: benchmark grams broadcast, the corpus side probes —
+    # no shuffle of the corpus, no sort-merge join
+    ("contamination_overlap", ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # split assignment is a pure scan-side expression
+    ("train_val_split", [], ["Exchange"]),
 ]
 
 

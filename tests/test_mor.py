@@ -147,6 +147,30 @@ def test_mor_with_ddl_stream_and_compaction(spark, changelog_dir, oracle_state, 
     assert_state_equals_oracle(got2, oracle_state)
 
 
+def test_auto_compaction_bounds_fragments(spark, changelog_dir, oracle_state, tmp_path):
+    """Long MoR run with auto_compact_fragments=3: fragment counts stay
+    bounded THROUGHOUT the replay (checked after every epoch), the
+    compactions interleave as their own epochs, and the end state is
+    oracle-exact."""
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    eng = CdcEngine(
+        spark, changelog_dir, table, lsn_budget=400,
+        write_mode="mor", auto_compact_fragments=3,
+    )
+    max_seen = 0
+    while eng.run_epoch() is not None:
+        snap = table.snapshot()
+        max_seen = max(
+            max_seen, max(len(fs) for fs in snap["files"].values()) if snap["files"] else 0
+        )
+    assert max_seen <= 3, f"auto-compaction failed to bound fragments: {max_seen}"
+    assert_state_equals_oracle(table.read(spark), oracle_state)
+    # more epochs than a pure-DML replay: compactions interleaved
+    n_dml = SnapshotTable.create(str(tmp_path / "ref"), n_buckets=8)
+    CdcEngine(spark, changelog_dir, n_dml, lsn_budget=400).run_to_completion()
+    assert table.current_epoch() > n_dml.current_epoch()
+
+
 def test_cow_read_path_stays_resolution_free(spark, changelog_dir, tmp_path):
     """The MoR read tax (a key-partitioned window) must not leak into
     copy-on-write tables: single-file buckets read as a plain scan."""
