@@ -129,3 +129,43 @@ def test_lww_invariant_under_physical_partitioning(spark, events, parts):
     )
     re["tokens"] = re["tokens"].map(lambda a: list(a) if a is not None else a)
     pd.testing.assert_frame_equal(base, re[list(base.columns)])
+
+
+@given(
+    events=event_sets(),
+    k=st.integers(min_value=0, max_value=60),
+)
+@settings(**COMMON)
+def test_mor_resolution_is_lww_homomorphism(spark, events, k):
+    """The merge-on-read read algebra: LWW-collapse each slice of an
+    ARBITRARY split into fragments, union the fragments, resolve by
+    max `_seq` per key — must equal LWW over the whole event set. This
+    is the invariant that makes fragment appends + read-side
+    resolution equivalent to the monolithic collapse for every epoch
+    slicing."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    k = min(k, len(events))
+    slices = [e for e in (events[:k], events[k:]) if e]
+    frags = [
+        lww_collapse(_spark_df(spark, s), key="doc_id", payload_cols=PAYLOAD, with_seq=True)
+        for s in slices
+    ]
+    union = frags[0]
+    for f in frags[1:]:
+        union = union.unionByName(f)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_seq"))
+    resolved = (
+        union.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_seq")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    resolved["tokens"] = resolved["tokens"].map(
+        lambda a: list(a) if a is not None else a
+    )
+    base = _collapse_to_pandas(spark, events)
+    pd.testing.assert_frame_equal(base, resolved[list(base.columns)])
