@@ -247,7 +247,20 @@ def main() -> None:
         run_update_heavy(spark, N_EVENTS, N_EPOCHS_UPDATE, f"{WORK_ROOT}/bench_upd")
         for _ in range(max(1, N_RUNS // 2))
     ]
-    update_heavy = max(upd_runs, key=lambda r: r["mor_vs_cow_update_speedup"])
+    # best of N PER MODE independently (same convention as every other
+    # measurement here) — never the run with the luckiest ratio
+    best_cow = min((r["cow"] for r in upd_runs), key=lambda m: m["update_wall_sec"])
+    best_mor = min((r["mor"] for r in upd_runs), key=lambda m: m["update_wall_sec"])
+    update_heavy = {
+        "update_epochs": upd_runs[0]["update_epochs"],
+        "n_keys": upd_runs[0]["n_keys"],
+        "cow": best_cow,
+        "mor": best_mor,
+        "mor_vs_cow_update_speedup": round(
+            best_cow["update_wall_sec"] / best_mor["update_wall_sec"], 2
+        ),
+        "all_runs_speedup": [r["mor_vs_cow_update_speedup"] for r in upd_runs],
+    }
 
     for name in HEADLINE:
         # steady-state per-query timing: one warm-up execution at
