@@ -474,16 +474,34 @@ class CdcEngine:
         return result
 
     def _maybe_auto_compact(self) -> None:
-        """Fold fragments when any bucket hits the configured
-        threshold. The trigger check is pure snapshot metadata (no
-        Spark job); the compaction itself is its own commit epoch."""
+        """Fold fragments when any bucket accumulates
+        `auto_compact_fragments` files BEYOND its bin-pack goal
+        (ceil(bucket_bytes / compact_target_bytes)). The goal offset
+        matters: a large bucket legitimately sits at several base
+        files after compaction, and a bare file-count trigger would
+        then fire after (almost) every delta epoch, rewriting the
+        whole bucket each time — exactly the write amplification MoR
+        exists to avoid. With the offset, a compaction resets the
+        bucket to `goal` files and the next one happens only after
+        `auto_compact_fragments` further fragment epochs. The trigger
+        check is driver-side file metadata (no Spark job); the
+        compaction itself is its own commit epoch."""
         if self.auto_compact_fragments is None:
             return
+        import math
+        import os
+
         snap = self.table.snapshot()
-        if any(
-            len(fs) >= self.auto_compact_fragments for fs in snap["files"].values()
-        ):
-            self.table.compact_files(self.spark, target_bytes=self.compact_target_bytes)
+        for fs in snap["files"].values():
+            total = sum(
+                os.path.getsize(os.path.join(self.table.root, fe["path"])) for fe in fs
+            )
+            goal = max(1, math.ceil(total / self.compact_target_bytes))
+            if len(fs) >= goal + self.auto_compact_fragments:
+                self.table.compact_files(
+                    self.spark, target_bytes=self.compact_target_bytes
+                )
+                return
 
     def run_to_completion(self, max_epochs: int = 10_000) -> int:
         """Replay the whole changelog; returns the final epoch number.

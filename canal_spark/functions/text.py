@@ -169,7 +169,11 @@ def train_val_split(
     leakage-free split a training pipeline actually needs (a val doc's
     near-copy in train is contamination)."""
     k = 8
-    thr = format(int(val_frac * 16**k), f"0{k}x")
+    # clamp to the 8-hex-digit domain: val_frac=1.0 would format to a
+    # 9-char '100000000' and the prefix comparison would silently send
+    # most rows to 'train'; 'ffffffff' keeps all but the 16^-8 exact-
+    # ceiling hash in 'val', and negatives clamp to an empty val set
+    thr = format(min(max(int(val_frac * 16**k), 0), 16**k - 1), f"0{k}x")
     key = group_expr if group_expr is not None else F.col(id_col).cast("string")
     return df.withColumn(
         "split",

@@ -148,58 +148,82 @@ class SnapshotTable:
         internal=True (the MERGE path) exposes `_seq`/`_tombstone` and
         keeps tombstone rows.
 
-        Merge-on-read resolution: a bucket whose manifest lists more
-        than one file holds delta fragments (append_epoch) on top of
-        its base; the read keeps, per key, the row with the greatest
-        `_seq` BEFORE any tombstone filtering (a newer tombstone must
-        suppress an older live row, and a late fragment must never
-        resurrect one). Single-file buckets — the copy-on-write
-        steady state — skip resolution entirely, so CoW reads keep
-        their zero-shuffle scan shape."""
+        Merge-on-read resolution: file entries written by append_epoch
+        carry `frag: true` in the manifest; a bucket containing any
+        fragment entry holds deltas on top of its base, and ONLY those
+        buckets pass through the `_seq` resolution — per key, keep the
+        row with the greatest `_seq` BEFORE any tombstone filtering (a
+        newer tombstone must suppress an older live row, and a late
+        fragment must never resurrect one). Fragment-free buckets —
+        the copy-on-write steady state AND multi-file bin-packed bases
+        from compact_files (disjoint key slices, no duplicates) — are
+        a plain scan: the resolution shuffle touches exactly the
+        fragmented data, never the whole table."""
         snap = self.snapshot(epoch)
         current = snap["schemas"][str(snap["schema_ver"])]
-        groups: dict[int, list[str]] = {}
-        needs_resolve = False
+        plain_groups: dict[int, list[str]] = {}
+        frag_groups: dict[int, list[str]] = {}
         for b, files in snap["files"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            needs_resolve = needs_resolve or len(files) > 1
+            tgt = (
+                frag_groups
+                if any(fe.get("frag") for fe in files)
+                else plain_groups
+            )
             for fentry in files:
-                groups.setdefault(fentry["schema_ver"], []).append(
+                tgt.setdefault(fentry["schema_ver"], []).append(
                     os.path.join(self.root, fentry["path"])
                 )
-        parts = []
-        for ver, paths in groups.items():
-            df = spark.read.option("basePath", self.data_dir).parquet(*paths)
-            parts.append(
-                self._normalize(
-                    df, snap, ver, with_bucket or needs_resolve, internal or needs_resolve
-                )
-            )
-        if not parts:
-            return self._empty(spark, current, with_bucket, internal)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        if not needs_resolve:
-            return out
-        from pyspark.sql import Window
 
-        # one shuffle on the key — the MoR read tax; per-key group size
-        # is the fragment count (bounded by epochs since last
-        # compaction), never the event count, so there is no skew.
-        # (The LWW-style max-agg + winner-join resolution was measured
-        # and REJECTED here: 0.59-0.83 s vs 0.40-0.47 s for the window
-        # at 8M-event/299-fragment scale — unlike the epoch hot path,
-        # per-key groups are tiny, so the window's sort is cheap and
-        # the extra aggregation pass + join probe is pure overhead.)
-        w = Window.partitionBy(snap["key_col"]).orderBy(F.desc("_seq"))
-        out = out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-        if not internal:
-            out = out.filter(~F.col("_tombstone")).drop("_seq", "_tombstone")
-        if not with_bucket:
-            out = out.drop("bucket")
-        return out
+        def _union(groups: dict[int, list[str]], wb: bool, internal_: bool):
+            parts = [
+                self._normalize(
+                    spark.read.option("basePath", self.data_dir).parquet(*paths),
+                    snap,
+                    ver,
+                    wb,
+                    internal_,
+                )
+                for ver, paths in groups.items()
+            ]
+            if not parts:
+                return None
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        plain = _union(plain_groups, with_bucket, internal)
+        frag = _union(frag_groups, with_bucket, True)
+        if frag is not None:
+            from pyspark.sql import Window
+
+            # one shuffle on the key, over the FRAGMENTED buckets only
+            # — the MoR read tax; per-key group size is the fragment
+            # count (bounded by epochs since last compaction), never
+            # the event count, so there is no skew.
+            # (The LWW-style max-agg + winner-join resolution was
+            # measured and REJECTED here: 0.59-0.83 s vs 0.40-0.47 s
+            # for the window at 8M-event/299-fragment scale — unlike
+            # the epoch hot path, per-key groups are tiny, so the
+            # window's sort is cheap and the extra aggregation pass +
+            # join probe is pure overhead.)
+            w = Window.partitionBy(snap["key_col"]).orderBy(F.desc("_seq"))
+            frag = (
+                frag.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            if not internal:
+                frag = frag.filter(~F.col("_tombstone")).drop("_seq", "_tombstone")
+        if plain is None and frag is None:
+            return self._empty(spark, current, with_bucket, internal)
+        if plain is None:
+            return frag
+        if frag is None:
+            return plain
+        return plain.unionByName(frag)
 
     def _normalize(
         self, df: DataFrame, snap: dict, file_ver: int, with_bucket: bool, internal: bool
@@ -278,7 +302,17 @@ class SnapshotTable:
             schemas[str(new_ver)] = schema_update["fields"]
         for b, paths in rewritten.items():
             entries = [
-                {"path": os.path.relpath(p, self.root), "schema_ver": new_ver} for p in paths
+                {
+                    "path": os.path.relpath(p, self.root),
+                    "schema_ver": new_ver,
+                    # fragment marker: read() resolves ONLY buckets
+                    # containing frag entries; replace-mode commits
+                    # (CoW merge, compaction, rebucket) produce
+                    # resolution-free bases even when bin-packing
+                    # splits a bucket into several disjoint files
+                    **({"frag": True} if append else {}),
+                }
+                for p in paths
             ]
             files[str(b)] = (files.get(str(b), []) + entries) if append else entries
             if not files[str(b)]:
@@ -533,7 +567,11 @@ class SnapshotTable:
                 os.path.getsize(os.path.join(self.root, fe["path"])) for fe in flist
             )
             goal = max(1, math.ceil(total / target_bytes))
-            if len(flist) > goal:
+            # compact when over-fragmented for the data volume OR when
+            # the bucket carries ANY merge-on-read fragment (folding
+            # the fragment removes the read-side resolution tax even
+            # if the file count is already at the bin-pack bound)
+            if len(flist) > goal or any(fe.get("frag") for fe in flist):
                 plan[int(b)] = goal
                 before[int(b)] = len(flist)
         if not plan:
@@ -544,13 +582,22 @@ class SnapshotTable:
         state = self.read(spark, buckets=buckets, internal=True)
         # per-bucket output file count via a keyed slice: bucket b's rows
         # spread over plan[b] slices; one shuffle keyed (bucket, slice),
-        # partitionBy then emits <= plan[b] files per bucket
+        # partitionBy then emits <= plan[b] files per bucket.
+        # The slice hash MUST be decorrelated from the bucket hash: with
+        # plain xxhash64(key), bucket = hash % n_buckets fixes
+        # hash % g for every g dividing n_buckets, so at power-of-two
+        # bucket counts a bucket's rows land in ONE slice and the
+        # bin-pack silently collapses (verified empirically). Seeding
+        # the hash with an extra literal column breaks the correlation.
         slice_map = F.create_map(*[F.lit(x) for b in buckets for x in (b, plan[b])])
         out = (
             state.select(*cols, "_seq", "_tombstone", "bucket")
             .withColumn(
                 "_slice",
-                F.pmod(F.xxhash64(F.col(snap["key_col"])), slice_map[F.col("bucket")]),
+                F.pmod(
+                    F.xxhash64(F.col(snap["key_col"]), F.lit(0x511CE)),
+                    slice_map[F.col("bucket")],
+                ),
             )
             .repartition(sum(plan.values()), "bucket", "_slice")
             .drop("_slice")

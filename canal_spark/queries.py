@@ -861,23 +861,30 @@ def mor_replay_modes_agree(spark, sf):
     from canal_spark.plans.table import SnapshotTable
     from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
 
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="canal_mor_")
-    log = generate_changelog(
-        f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
-    )
-    tc = SnapshotTable.create(f"{tmp}/cow", n_buckets=4)
-    CdcEngine(spark, log, tc, lsn_budget=500).run_to_completion()
-    tm = SnapshotTable.create(f"{tmp}/mor", n_buckets=4)
-    CdcEngine(spark, log, tm, lsn_budget=500, write_mode="mor").run_to_completion()
-    cow = tc.read(spark, internal=True)
-    mor = tm.read(spark, internal=True)
-    same1 = cow.exceptAll(mor).count() == 0 and mor.exceptAll(cow).count() == 0
-    packed = tm.compact_files(spark, target_bytes=1 << 30)
-    post = tm.read(spark, internal=True)
-    same2 = post.exceptAll(cow).count() == 0 and cow.exceptAll(post).count() == 0
-    folded = bool(packed) and all(
-        len(fs) == 1 for fs in tm.snapshot()["files"].values()
-    )
+    try:
+        log = generate_changelog(
+            f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+        )
+        tc = SnapshotTable.create(f"{tmp}/cow", n_buckets=4)
+        CdcEngine(spark, log, tc, lsn_budget=500).run_to_completion()
+        tm = SnapshotTable.create(f"{tmp}/mor", n_buckets=4)
+        CdcEngine(spark, log, tm, lsn_budget=500, write_mode="mor").run_to_completion()
+        cow = tc.read(spark, internal=True)
+        mor = tm.read(spark, internal=True)
+        same1 = cow.exceptAll(mor).count() == 0 and mor.exceptAll(cow).count() == 0
+        packed = tm.compact_files(spark, target_bytes=1 << 30)
+        post = tm.read(spark, internal=True)
+        same2 = post.exceptAll(cow).count() == 0 and cow.exceptAll(post).count() == 0
+        folded = bool(packed) and all(
+            len(fs) == 1 for fs in tm.snapshot()["files"].values()
+        )
+    finally:
+        # every invariant is already materialized (counts/booleans):
+        # the fixture is removable before the literal-frame return
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         [(same1, same2, folded)],
         "states_identical boolean, compaction_preserved_state boolean, "
@@ -902,27 +909,36 @@ def incremental_changes_consistent(spark, sf):
     from canal_spark.plans.table import SnapshotTable
     from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
 
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="canal_cdf_")
-    log = generate_changelog(
-        f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
-    )
-    table = SnapshotTable.create(f"{tmp}/t", n_buckets=4)
-    eng = CdcEngine(spark, log, table, lsn_budget=500, write_mode="mor")
-    eng.run_epoch()
-    e1 = table.current_epoch()
-    eng.run_to_completion()
-    final = table.current_epoch()
-    cols = ["doc_id", "tokens", "n_tok", "source"]
-    changes = table.read_changes(spark, e1, final)
-    a = table.read(spark, epoch=e1, with_bucket=False).select(*cols)
-    reconstructed = a.join(changes.select("doc_id"), "doc_id", "left_anti").unionByName(
-        changes.filter(F.col("op") != "DELETE").select(*cols)
-    )
-    b = table.read(spark, epoch=final, with_bucket=False).select(*cols)
-    ok1 = reconstructed.exceptAll(b).count() == 0 and b.exceptAll(reconstructed).count() == 0
-    deletes_present = changes.filter(F.col("op") == "DELETE").count() > 0
-    table.compact_files(spark, target_bytes=1 << 30)
-    ok2 = table.read_changes(spark, final, table.current_epoch()).count() == 0
+    try:
+        log = generate_changelog(
+            f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+        )
+        table = SnapshotTable.create(f"{tmp}/t", n_buckets=4)
+        eng = CdcEngine(spark, log, table, lsn_budget=500, write_mode="mor")
+        eng.run_epoch()
+        e1 = table.current_epoch()
+        eng.run_to_completion()
+        final = table.current_epoch()
+        cols = ["doc_id", "tokens", "n_tok", "source"]
+        changes = table.read_changes(spark, e1, final)
+        a = table.read(spark, epoch=e1, with_bucket=False).select(*cols)
+        reconstructed = a.join(
+            changes.select("doc_id"), "doc_id", "left_anti"
+        ).unionByName(changes.filter(F.col("op") != "DELETE").select(*cols))
+        b = table.read(spark, epoch=final, with_bucket=False).select(*cols)
+        ok1 = (
+            reconstructed.exceptAll(b).count() == 0
+            and b.exceptAll(reconstructed).count() == 0
+        )
+        deletes_present = changes.filter(F.col("op") == "DELETE").count() > 0
+        table.compact_files(spark, target_bytes=1 << 30)
+        ok2 = table.read_changes(spark, final, table.current_epoch()).count() == 0
+    finally:
+        # invariants materialized above; fixture removable pre-return
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         [(ok1, ok2, deletes_present)],
         "reconstructs_snapshot boolean, noop_epochs_emit_nothing boolean, "

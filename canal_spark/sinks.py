@@ -100,9 +100,13 @@ class SinkMapping:
             out = out.filter(F.expr(self.where))
         if self.dim is not None:
             dcol, mcol = self.on
+            # drop the dim's join column after the join: keeping it
+            # duplicates the name whenever dcol == mcol (the natural
+            # same-name key) and breaks the downstream write /
+            # `columns` references with ambiguity errors
             out = out.join(
                 F.broadcast(self.dim), out[dcol] == self.dim[mcol], "left"
-            )
+            ).drop(self.dim[mcol])
         if self.columns:
             out = out.select(
                 *[F.expr(src).alias(tgt) for tgt, src in self.columns.items()]

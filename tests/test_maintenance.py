@@ -278,6 +278,18 @@ def test_compact_files_respects_target_bytes(spark, changelog_dir, tmp_path):
     for b, (n_before, n_after) in res.items():
         assert n_after <= goals[b], f"bucket {b}: {n_after} files > goal {goals[b]}"
         assert len(snap2["files"][str(b)]) == n_after
+    # the slice hash must actually SPLIT buckets whose bytes exceed the
+    # target (regression: a slice hash correlated with the bucket hash
+    # collapses every bucket to one slice at power-of-two bucket counts,
+    # silently emitting files far above target_bytes)
+    multi = [b for b, (_, n_after) in res.items() if n_after >= 2]
+    assert multi, f"tiny target must split some bucket: {res}"
+    # and a size-split BASE is not mistaken for fragments: reads stay
+    # resolution-free (no key-shuffle window) after compaction
+    plan = table.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "bin-packed base must not pay MoR resolution"
+    before = {(r["doc_id"], r["n_tok"]) for r in table.read(spark).collect()}
+    assert len(before) == table.read(spark).count()
 
 
 def test_crashed_compaction_is_invisible_and_rerunnable(

@@ -127,3 +127,20 @@ def test_merge_bucket_pruning_carries_untouched_files(spark, changelog_dir, tmp_
     assert files_after[str(target_bucket)] != files_before.get(str(target_bucket))
     got = table.read(spark).filter("doc_id = 'd0000001'").collect()
     assert len(got) == 1 and got[0]["tokens"] == [1, 2, 3]
+
+
+def test_train_val_split_boundary_fracs(spark):
+    """val_frac=1.0 must label (essentially) everything 'val' — the
+    naive threshold format produced a 9-char string and silently sent
+    ~94% to 'train'; 0.0 must produce no 'val' rows."""
+    import pyspark.sql.functions as F
+
+    from canal_spark.functions.text import train_val_split
+
+    d = spark.range(200).select(F.col("id").alias("doc_id"))
+    all_val = train_val_split(d, val_frac=1.0)
+    assert all_val.filter(F.col("split") == "train").count() == 0
+    none_val = train_val_split(d, val_frac=0.0)
+    assert none_val.filter(F.col("split") == "val").count() == 0
+    some = train_val_split(d, val_frac=0.25).filter(F.col("split") == "val").count()
+    assert 20 <= some <= 80, f"0.25 split wildly off: {some}/200"

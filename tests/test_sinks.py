@@ -143,6 +143,27 @@ def test_two_sinks_with_different_mappings_from_one_delta(
     assert "BroadcastHashJoin" in plan
 
 
+def test_mapping_same_name_join_key_is_unambiguous(spark):
+    """The natural same-name join (on=('source','source')) must not
+    leave a duplicate column behind — the dim's key is dropped after
+    the join so writes and `columns` references stay unambiguous."""
+    from canal_spark.sinks import SinkMapping
+
+    dim = spark.createDataFrame(
+        [(f"src{i}", f"tier-{i}") for i in range(3)], "source string, tier string"
+    )
+    out = SinkMapping(dim=dim, on=("source", "source")).apply(_delta(spark))
+    assert out.columns.count("source") == 1
+    assert "tier" in out.columns
+    mapped = SinkMapping(
+        columns={"pk": "doc_id", "src": "source", "tier": "tier"},
+        dim=dim,
+        on=("source", "source"),
+    ).apply(_delta(spark))
+    rows = {r["pk"]: r for r in mapped.collect()}
+    assert rows["a"]["tier"] == "tier-0" and rows["c"]["tier"] == "tier-2"
+
+
 def test_streaming_sink_fanout(spark, changelog_dir, tmp_path):
     from canal_spark.streaming.stream import StreamingUpsert
 
