@@ -104,6 +104,12 @@ def cmd_maintain(args) -> int:
         eng = CdcEngine(spark, args.changelog, table)
         out["tombstones_dropped"] = eng.compact_tombstones()
     if args.compact_files is not None:
+        if args.compact_files <= 0:
+            print(
+                f"--compact-files: TARGET_BYTES must be positive, got {args.compact_files}",
+                file=sys.stderr,
+            )
+            return 2
         spark = _spark(args.master, args.cpus)
         packed = table.compact_files(spark, target_bytes=args.compact_files)
         out["compacted_buckets"] = {
@@ -140,7 +146,9 @@ def main(argv: list[str] | None = None) -> int:
                     "on read, fold with maintain --compact-files")
     rp.add_argument("--auto-compact-fragments", type=int, default=None,
                     help="with --write-mode mor: fold a bucket's fragments "
-                    "(compact_files) whenever its file count reaches N")
+                    "(compact_files) whenever it accumulates N fragment "
+                    "files BEYOND its bin-pack goal (ceil(bucket_bytes / "
+                    "target)); only the triggering buckets are folded")
     rp.set_defaults(fn=cmd_replay)
 
     st = sub.add_parser("status", help="print table position/meta as JSON")

@@ -492,16 +492,22 @@ class CdcEngine:
         import os
 
         snap = self.table.snapshot()
-        for fs in snap["files"].values():
+        over = []
+        for b, fs in snap["files"].items():
             total = sum(
                 os.path.getsize(os.path.join(self.table.root, fe["path"])) for fe in fs
             )
             goal = max(1, math.ceil(total / self.compact_target_bytes))
             if len(fs) >= goal + self.auto_compact_fragments:
-                self.table.compact_files(
-                    self.spark, target_bytes=self.compact_target_bytes
-                )
-                return
+                over.append(int(b))
+        if over:
+            # fold ONLY the buckets that crossed the trigger: a single
+            # hot bucket must not make every barely-fragmented bucket
+            # pay rewrite amplification (they fold when they themselves
+            # accumulate `auto_compact_fragments` files past goal)
+            self.table.compact_files(
+                self.spark, target_bytes=self.compact_target_bytes, buckets=over
+            )
 
     def run_to_completion(self, max_epochs: int = 10_000) -> int:
         """Replay the whole changelog; returns the final epoch number.

@@ -89,19 +89,22 @@ class SnapshotTable:
         os.makedirs(t.data_dir, exist_ok=True)
         if t.current_epoch() is None:
             schema = schema or DEFAULT_SCHEMA
-            t._write_snapshot(
-                {
-                    "epoch": 0,
-                    "parent": None,
-                    "n_buckets": n_buckets,
-                    "key_col": key_col,
-                    "schema_ver": 1,
-                    "schemas": {"1": schema},
-                    "files": {},
-                    "checkpoints": {},
-                    "lineage": [],
-                }
-            )
+            try:
+                t._write_snapshot(
+                    {
+                        "epoch": 0,
+                        "parent": None,
+                        "n_buckets": n_buckets,
+                        "key_col": key_col,
+                        "schema_ver": 1,
+                        "schemas": {"1": schema},
+                        "files": {},
+                        "checkpoints": {},
+                        "lineage": [],
+                    }
+                )
+            except FileExistsError:
+                pass  # concurrent create published epoch 0 first — same content
         return t
 
     # ------------------------------------------------------- snapshots
@@ -109,12 +112,21 @@ class SnapshotTable:
         return os.path.join(self.meta_dir, f"snapshot-{epoch:08d}.json")
 
     def _write_snapshot(self, snap: dict) -> None:
+        """Publish a snapshot EXCLUSIVELY: `os.link` (unlike `os.rename`)
+        fails with EEXIST if the destination already exists, so two
+        writers racing to commit the same epoch cannot silently
+        clobber each other — exactly one wins, the loser sees
+        FileExistsError and replans (see compact_files). POSIX-atomic
+        like the rename it replaces."""
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(snap, f, indent=1)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, self._snap_path(snap["epoch"]))
+        try:
+            os.link(tmp, self._snap_path(snap["epoch"]))
+        finally:
+            os.unlink(tmp)
 
     def current_epoch(self) -> int | None:
         if not os.path.isdir(self.meta_dir):
@@ -139,10 +151,19 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         with_bucket: bool = True,
         internal: bool = False,
+        key_range: tuple | None = None,
     ) -> DataFrame:
         """Table state as of a snapshot (time travel via `epoch`),
         optionally pruned to a bucket subset (file-level pruning — the
         files of other buckets are never opened).
+
+        `key_range=(lo, hi)` (inclusive; either side None = unbounded)
+        returns only rows with the key in range AND skips every data
+        file whose manifest bounds (commit-time footer min/max, the
+        Iceberg `lower_bounds`/`upper_bounds` analog) cannot overlap
+        the range — a point/range lookup opens O(matching files), not
+        O(bucket). Files committed without bounds are conservatively
+        read and filtered row-wise.
 
         Default reads hide merge metadata and filter tombstones;
         internal=True (the MERGE path) exposes `_seq`/`_tombstone` and
@@ -150,28 +171,37 @@ class SnapshotTable:
 
         Merge-on-read resolution: file entries written by append_epoch
         carry `frag: true` in the manifest; a bucket containing any
-        fragment entry holds deltas on top of its base, and ONLY those
-        buckets pass through the `_seq` resolution — per key, keep the
-        row with the greatest `_seq` BEFORE any tombstone filtering (a
-        newer tombstone must suppress an older live row, and a late
-        fragment must never resurrect one). Fragment-free buckets —
-        the copy-on-write steady state AND multi-file bin-packed bases
-        from compact_files (disjoint key slices, no duplicates) — are
-        a plain scan: the resolution shuffle touches exactly the
-        fragmented data, never the whole table."""
+        fragment entry holds deltas on top of its base, and only files
+        that can actually CONFLICT pass through the `_seq` resolution —
+        per key, keep the row with the greatest `_seq` BEFORE any
+        tombstone filtering (a newer tombstone must suppress an older
+        live row, and a late fragment must never resurrect one).
+        Conflict detection is overlap components over the manifest key
+        bounds (_resolution_set): a fragment wholly above/below every
+        other file's key range — and every fragment-free bucket: the
+        copy-on-write steady state and bin-packed compact_files bases
+        (disjoint key slices, no duplicates) — bypasses the window
+        entirely. The resolution shuffle touches exactly the data that
+        can conflict, never the whole table."""
         snap = self.snapshot(epoch)
         current = snap["schemas"][str(snap["schema_ver"])]
+        lo, hi = key_range if key_range is not None else (None, None)
         plain_groups: dict[int, list[str]] = {}
         frag_groups: dict[int, list[str]] = {}
         for b, files in snap["files"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            tgt = (
-                frag_groups
-                if any(fe.get("frag") for fe in files)
-                else plain_groups
+            live = (
+                [fe for fe in files if self._entry_in_range(fe, lo, hi)]
+                if key_range is not None
+                else files
             )
-            for fentry in files:
+            if any(fe.get("frag") for fe in live):
+                need = self._resolution_set(live)
+            else:
+                need = [False] * len(live)
+            for fentry, resolve in zip(live, need):
+                tgt = frag_groups if resolve else plain_groups
                 tgt.setdefault(fentry["schema_ver"], []).append(
                     os.path.join(self.root, fentry["path"])
                 )
@@ -218,12 +248,59 @@ class SnapshotTable:
             if not internal:
                 frag = frag.filter(~F.col("_tombstone")).drop("_seq", "_tombstone")
         if plain is None and frag is None:
-            return self._empty(spark, current, with_bucket, internal)
-        if plain is None:
-            return frag
-        if frag is None:
-            return plain
-        return plain.unionByName(frag)
+            out = self._empty(spark, current, with_bucket, internal)
+        elif plain is None:
+            out = frag
+        elif frag is None:
+            out = plain
+        else:
+            out = plain.unionByName(frag)
+        if key_range is not None:
+            # residual row filter: skipped files never reach here; files
+            # kept conservatively (wider range / no bounds) are trimmed
+            kc = F.col(snap["key_col"])
+            if lo is not None:
+                out = out.filter(kc >= F.lit(lo))
+            if hi is not None:
+                out = out.filter(kc <= F.lit(hi))
+        return out
+
+    @classmethod
+    def _resolution_set(cls, entries: list[dict]) -> list[bool]:
+        """Which of a fragment-bearing bucket's file entries need `_seq`
+        resolution: union-find over the conflict graph, where an edge
+        joins two files iff at least one is a delta FRAGMENT and their
+        manifest key ranges can overlap (absent bounds = conservative
+        overlap). Base files never conflict with each other — every
+        replace-mode commit (CoW merge, compaction, rebucket) writes
+        key-disjoint files. A file in a component of size 1 cannot
+        share a key with any other file in the bucket (fragments are
+        LWW-collapsed internally), so it scans plain: the
+        merge-on-read read tax shrinks to the files that can actually
+        conflict, e.g. a key-localized fragment over a range-ordered
+        base leaves the non-overlapping base slices window-free."""
+        n = len(entries)
+        parent = list(range(n))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(n):
+            fi = entries[i]
+            for j in range(i + 1, n):
+                fj = entries[j]
+                if (fi.get("frag") or fj.get("frag")) and cls._entries_overlap(fi, fj):
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[rj] = ri
+        sizes: dict[int, int] = {}
+        for i in range(n):
+            r = find(i)
+            sizes[r] = sizes.get(r, 0) + 1
+        return [sizes[find(i)] > 1 for i in range(n)]
 
     def _normalize(
         self, df: DataFrame, snap: dict, file_ver: int, with_bucket: bool, internal: bool
@@ -257,6 +334,81 @@ class SnapshotTable:
         if with_bucket:
             ddl += ", bucket int"
         return spark.createDataFrame([], ddl)
+
+    # ----------------------------------------------- per-file statistics
+    #: string min/max longer than this may be writer-truncated (prefix
+    #: only) and cannot be trusted as an exact bound — skip recording
+    _STAT_MAX_STR = 64
+
+    def _file_bounds(self, path: str, key_col: str) -> dict:
+        """min/max of the key column and `_seq` from the parquet FOOTER
+        (pure driver-side metadata — no data scan), recorded into the
+        manifest file entry at commit time. This is the Iceberg
+        manifest `lower_bounds`/`upper_bounds` analog (SURVEY §7.2):
+        at 10^10 rows it is what lets a point/range read open only the
+        files whose key range overlaps the predicate, and what lets
+        the merge-on-read resolution skip fragments disjoint from the
+        base slice being read. Missing/untrusted stats record nothing
+        — readers treat absent bounds as "overlaps everything"."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return {}
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return {}
+        out: dict = {}
+        for col, lo_k, hi_k in ((key_col, "key_min", "key_max"), ("_seq", "seq_min", "seq_max")):
+            lo = hi = None
+            ok = md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                st = None
+                for ci in range(grp.num_columns):
+                    c = grp.column(ci)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        break
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        ok = False
+                        break
+                if isinstance(mn, str) and (
+                    len(mn) >= self._STAT_MAX_STR or len(mx) >= self._STAT_MAX_STR
+                ):
+                    ok = False  # possibly truncated bound — not exact
+                    break
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if ok and lo is not None:
+                out[lo_k], out[hi_k] = lo, hi
+        return out
+
+    @staticmethod
+    def _entry_in_range(fe: dict, lo, hi) -> bool:
+        """Can file entry `fe` contain a key in [lo, hi]? Absent bounds
+        => conservatively yes."""
+        if "key_min" not in fe:
+            return True
+        if lo is not None and fe["key_max"] < lo:
+            return False
+        if hi is not None and fe["key_min"] > hi:
+            return False
+        return True
+
+    @staticmethod
+    def _entries_overlap(a: dict, b: dict) -> bool:
+        """Can two file entries share a key? Absent bounds => yes."""
+        if "key_min" not in a or "key_min" not in b:
+            return True
+        return not (a["key_max"] < b["key_min"] or b["key_max"] < a["key_min"])
 
     # ---------------------------------------------------------- commit
     def commit(
@@ -300,6 +452,25 @@ class SnapshotTable:
         if schema_update:
             new_ver = schema_update["ver"]
             schemas[str(new_ver)] = schema_update["fields"]
+        # Iceberg-style per-file column bounds (footer metadata, no data
+        # scan) — read-side file skipping. Footers are fetched on a small
+        # thread pool: this sits in the driver-serial commit window, and
+        # the serial fraction is what bounds scaling efficiency.
+        from concurrent.futures import ThreadPoolExecutor
+
+        all_paths = [p for paths in rewritten.values() for p in paths]
+        if all_paths:
+            with ThreadPoolExecutor(max_workers=min(8, len(all_paths))) as pool:
+                bounds = dict(
+                    zip(
+                        all_paths,
+                        pool.map(
+                            lambda p: self._file_bounds(p, snap["key_col"]), all_paths
+                        ),
+                    )
+                )
+        else:
+            bounds = {}
         for b, paths in rewritten.items():
             entries = [
                 {
@@ -311,6 +482,7 @@ class SnapshotTable:
                     # resolution-free bases even when bin-packing
                     # splits a bucket into several disjoint files
                     **({"frag": True} if append else {}),
+                    **bounds[p],
                 }
                 for p in paths
             ]
@@ -339,7 +511,13 @@ class SnapshotTable:
             ),
             "meta": {**snap.get("meta", {}), **(meta or {})},
         }
-        self._write_snapshot(new_snap)
+        try:
+            self._write_snapshot(new_snap)
+        except FileExistsError:
+            # lost a commit race for this epoch number after the
+            # fast-path existence check — same outcome as the fast
+            # path: not committed by us
+            return False
         return True
 
     def read_pending(self, spark: SparkSession) -> DataFrame | None:
@@ -369,22 +547,48 @@ class SnapshotTable:
         a key that is tombstoned in both snapshots is no change.
 
         Scale shape: one full-outer join of the two snapshots keyed on
-        the key column — both sides bucket-pruned file sets; payload
-        columns ride only on the new side. Cost is O(|a| + |b|), the
-        floor for snapshot differencing without a change index.
+        the key column — both sides pruned to the BUCKETS WHOSE
+        MANIFEST FILE LISTS DIFFER between the snapshots (a bucket's
+        visible state is a pure function of its file list, so an
+        identical list means zero changes: those buckets are never
+        opened, let alone joined). Within the differing buckets,
+        payload columns ride only on the new side. Cost is O(touched
+        buckets), the floor for snapshot differencing without a change
+        index; an epoch that touched 1% of the buckets diffs 1% of the
+        table.
+
+        `to_epoch` is resolved ONCE (both sides and the schema come
+        from the same snapshot), so a concurrent commit cannot mix
+        views; requires from_epoch <= to_epoch.
         """
-        key = self.snapshot()["key_col"]
+        snap_b = self.snapshot(to_epoch)
+        snap_a = self.snapshot(from_epoch)
+        if snap_a["epoch"] > snap_b["epoch"]:
+            raise ValueError(
+                f"read_changes: from_epoch={snap_a['epoch']} > "
+                f"to_epoch={snap_b['epoch']}"
+            )
+        key = snap_b["key_col"]
         cols = [
             f["name"]
-            for f in self.snapshot(to_epoch)["schemas"][
-                str(self.snapshot(to_epoch)["schema_ver"])
-            ]
+            for f in snap_b["schemas"][str(snap_b["schema_ver"])]
             if f["name"] != key
         ]
-        a = self.read(spark, epoch=from_epoch, with_bucket=False, internal=True).select(
+        diff_buckets = sorted(
+            int(bk)
+            for bk in set(snap_a["files"]) | set(snap_b["files"])
+            if snap_a["files"].get(bk) != snap_b["files"].get(bk)
+        )
+        a = self.read(
+            spark, epoch=snap_a["epoch"], buckets=diff_buckets,
+            with_bucket=False, internal=True,
+        ).select(
             key, F.col("_seq").alias("_seq_a"), F.col("_tombstone").alias("_tomb_a")
         )
-        b = self.read(spark, epoch=to_epoch, with_bucket=False, internal=True).select(
+        b = self.read(
+            spark, epoch=snap_b["epoch"], buckets=diff_buckets,
+            with_bucket=False, internal=True,
+        ).select(
             key, *cols, F.col("_seq").alias("_seq_b"), F.col("_tombstone").alias("_tomb_b")
         )
         j = b.join(a, key, "full_outer")
@@ -529,6 +733,8 @@ class SnapshotTable:
         self,
         spark: SparkSession,
         target_bytes: int = 128 * 1024 * 1024,
+        buckets: list[int] | None = None,
+        max_retries: int = 5,
     ) -> dict[int, tuple[int, int]]:
         """Bin-pack each bucket's accumulated small data files into
         ~`target_bytes` files and publish the rewrite as ONE commit
@@ -546,73 +752,113 @@ class SnapshotTable:
         reference, so the epoch cost is O(fragmented data), not
         O(table).
 
+        `buckets` restricts the fold to a subset (auto-compaction
+        passes exactly the buckets that crossed its trigger, so a
+        single hot bucket's threshold never rewrites every
+        barely-fragmented bucket in the table).
+
         Row content (including `_seq`/`_tombstone` merge metadata) is
         preserved exactly; `read()` before and after is identical.
-        Crash model is the standard one: data files land under
-        `epoch=N` BEFORE the snapshot rename, so a crashed compaction
-        is invisible (orphans; re-run overwrites them deterministically)
-        and a completed compaction makes a re-run a no-op (every bucket
-        is then at its bin-packed file count). Earlier snapshots still
+        Crash model is the standard one: data files land in a staging
+        directory BEFORE the snapshot publish, so a crashed compaction
+        is invisible (orphans; remove_orphans reclaims them) and a
+        completed compaction makes a re-run a no-op (every bucket is
+        then at its bin-packed file count). Earlier snapshots still
         time-travel to the pre-compaction files until expired.
+
+        SAFE AGAINST A CONCURRENT WRITER (Iceberg-style optimistic
+        commit): the rewrite stages its files under a unique directory
+        (never the engine's `epoch=N` path, so it can't clobber a
+        racing epoch's data), and the snapshot publish is exclusive
+        (os.link). If another commit lands between the snapshot read
+        and the publish — the engine taking the epoch number, or
+        advancing past it — the commit fails cleanly, the plan is
+        recomputed on the NEW snapshot, and the rewrite retries, up to
+        `max_retries` times. `maintain --compact-files` against a live
+        streaming table is therefore linearizable with the writer.
 
         Returns {bucket: (files_before, files_after)} for the rewritten
         buckets; empty dict = nothing to do (no epoch committed)."""
         import math
 
-        snap = self.snapshot()
-        plan: dict[int, int] = {}
-        before: dict[int, int] = {}
-        for b, flist in snap["files"].items():
-            total = sum(
-                os.path.getsize(os.path.join(self.root, fe["path"])) for fe in flist
+        if target_bytes <= 0:
+            raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+        only = None if buckets is None else {int(b) for b in buckets}
+        for _attempt in range(max_retries):
+            snap = self.snapshot()
+            plan: dict[int, int] = {}
+            before: dict[int, int] = {}
+            for b, flist in snap["files"].items():
+                if only is not None and int(b) not in only:
+                    continue
+                total = sum(
+                    os.path.getsize(os.path.join(self.root, fe["path"])) for fe in flist
+                )
+                goal = max(1, math.ceil(total / target_bytes))
+                # compact when over-fragmented for the data volume OR when
+                # the bucket carries ANY merge-on-read fragment (folding
+                # the fragment removes the read-side resolution tax even
+                # if the file count is already at the bin-pack bound)
+                if len(flist) > goal or any(fe.get("frag") for fe in flist):
+                    plan[int(b)] = goal
+                    before[int(b)] = len(flist)
+            if not plan:
+                return {}
+            epoch = snap["epoch"] + 1
+            folded = sorted(plan)
+            cols = [f["name"] for f in snap["schemas"][str(snap["schema_ver"])]]
+            state = self.read(spark, epoch=snap["epoch"], buckets=folded, internal=True)
+            # per-bucket output file count via a keyed slice: bucket b's rows
+            # spread over plan[b] slices; one shuffle keyed (bucket, slice),
+            # partitionBy then emits <= plan[b] files per bucket.
+            # The slice hash MUST be decorrelated from the bucket hash: with
+            # plain xxhash64(key), bucket = hash % n_buckets fixes
+            # hash % g for every g dividing n_buckets, so at power-of-two
+            # bucket counts a bucket's rows land in ONE slice and the
+            # bin-pack silently collapses (verified empirically). Seeding
+            # the hash with an extra literal column breaks the correlation.
+            slice_map = F.create_map(*[F.lit(x) for b in folded for x in (b, plan[b])])
+            out = (
+                state.select(*cols, "_seq", "_tombstone", "bucket")
+                .withColumn(
+                    "_slice",
+                    F.pmod(
+                        F.xxhash64(F.col(snap["key_col"]), F.lit(0x511CE)),
+                        slice_map[F.col("bucket")],
+                    ),
+                )
+                .repartition(sum(plan.values()), "bucket", "_slice")
+                .drop("_slice")
             )
-            goal = max(1, math.ceil(total / target_bytes))
-            # compact when over-fragmented for the data volume OR when
-            # the bucket carries ANY merge-on-read fragment (folding
-            # the fragment removes the read-side resolution tax even
-            # if the file count is already at the bin-pack bound)
-            if len(flist) > goal or any(fe.get("frag") for fe in flist):
-                plan[int(b)] = goal
-                before[int(b)] = len(flist)
-        if not plan:
-            return {}
-        epoch = snap["epoch"] + 1
-        buckets = sorted(plan)
-        cols = [f["name"] for f in snap["schemas"][str(snap["schema_ver"])]]
-        state = self.read(spark, buckets=buckets, internal=True)
-        # per-bucket output file count via a keyed slice: bucket b's rows
-        # spread over plan[b] slices; one shuffle keyed (bucket, slice),
-        # partitionBy then emits <= plan[b] files per bucket.
-        # The slice hash MUST be decorrelated from the bucket hash: with
-        # plain xxhash64(key), bucket = hash % n_buckets fixes
-        # hash % g for every g dividing n_buckets, so at power-of-two
-        # bucket counts a bucket's rows land in ONE slice and the
-        # bin-pack silently collapses (verified empirically). Seeding
-        # the hash with an extra literal column breaks the correlation.
-        slice_map = F.create_map(*[F.lit(x) for b in buckets for x in (b, plan[b])])
-        out = (
-            state.select(*cols, "_seq", "_tombstone", "bucket")
-            .withColumn(
-                "_slice",
-                F.pmod(
-                    F.xxhash64(F.col(snap["key_col"]), F.lit(0x511CE)),
-                    slice_map[F.col("bucket")],
-                ),
+            # staging dir: unique per attempt (a racing engine epoch owns
+            # `epoch=N` — writing there with mode=overwrite would clobber
+            # its committed data files); keeps key=value path form so
+            # partition-column inference stays consistent ({epoch,bucket})
+            # across mixed file sets under the shared basePath
+            out_dir = os.path.join(
+                self.data_dir, f"epoch={epoch}-compact-{uuid.uuid4().hex[:8]}"
             )
-            .repartition(sum(plan.values()), "bucket", "_slice")
-            .drop("_slice")
+            out.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+            files = self._list_bucket_files(out_dir)
+            try:
+                committed = self.commit(
+                    epoch,
+                    rewritten={b: files.get(b, []) for b in folded},
+                    checkpoints={},
+                    lineage=[],
+                    meta={"last_compaction_epoch": epoch},
+                )
+            except ValueError:
+                committed = False  # current epoch advanced past ours
+            if committed:
+                return {b: (before[b], len(files.get(b, []))) for b in folded}
+            # conflict: a concurrent commit won the epoch — the staged
+            # files are unreferenced orphans (GC'd later); replan on
+            # the fresh snapshot and retry
+        raise RuntimeError(
+            f"compact_files: {max_retries} consecutive commit conflicts — "
+            "writer is outpacing maintenance; rerun when ingest is quieter"
         )
-        out_dir = self.epoch_data_dir(epoch)
-        out.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
-        files = self.list_epoch_files(epoch)
-        self.commit(
-            epoch,
-            rewritten={b: files.get(b, []) for b in buckets},
-            checkpoints={},
-            lineage=[],
-            meta={"last_compaction_epoch": epoch},
-        )
-        return {b: (before[b], len(files.get(b, []))) for b in buckets}
 
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
         """Bucket-layout evolution: rewrite the table into
@@ -717,8 +963,12 @@ class SnapshotTable:
 
     def list_epoch_files(self, epoch: int) -> dict[int, list[str]]:
         """Enumerate bucket=<k>/ parquet files written for an epoch."""
+        return self._list_bucket_files(self.epoch_data_dir(epoch))
+
+    @staticmethod
+    def _list_bucket_files(root: str) -> dict[int, list[str]]:
+        """Enumerate bucket=<k>/ parquet files under any staging root."""
         out: dict[int, list[str]] = {}
-        root = self.epoch_data_dir(epoch)
         if not os.path.isdir(root):
             return out
         for d in sorted(os.listdir(root)):

@@ -100,6 +100,17 @@ class SinkMapping:
             out = out.filter(F.expr(self.where))
         if self.dim is not None:
             dcol, mcol = self.on
+            # beyond the join key (dropped below), any dim column
+            # sharing a delta column's name would survive the join as
+            # a duplicate and break every later `columns` expression /
+            # write with ambiguity — reject the mapping upfront with
+            # the actual collision list instead
+            clash = sorted((set(self.dim.columns) - {mcol}) & set(out.columns))
+            if clash:
+                raise ValueError(
+                    "SinkMapping: dim columns collide with delta columns "
+                    f"{clash}; alias them in the dim before mapping"
+                )
             # drop the dim's join column after the join: keeping it
             # duplicates the name whenever dcol == mcol (the natural
             # same-name key) and breaks the downstream write /

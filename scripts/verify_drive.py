@@ -32,20 +32,26 @@ def main(phase: str) -> None:
     from canal_spark.plans.table import SnapshotTable
 
     spark = get_spark()
+    mor = phase.endswith("-mor")
+    table_path = TABLE + ("_mor" if mor else "")
+    kw = (
+        {"write_mode": "mor", "auto_compact_fragments": 4} if mor else {}
+    )
+    phase = phase.removesuffix("-mor")
     if phase == "replay-some":
-        table = SnapshotTable.create(TABLE, n_buckets=16)
-        eng = CdcEngine(spark, LOG, table, lsn_budget=8000)
+        table = SnapshotTable.create(table_path, n_buckets=16)
+        eng = CdcEngine(spark, LOG, table, lsn_budget=8000, **kw)
         for _ in range(3):
             eng.run_epoch()
         print(f"VERIFY replay-some: epoch={table.current_epoch()} rows={table.read(spark).count()}")
     elif phase == "resume":
-        table = SnapshotTable(TABLE)  # fresh handle, cold JVM
-        eng = CdcEngine(spark, LOG, table, lsn_budget=8000)
+        table = SnapshotTable(table_path)  # fresh handle, cold JVM
+        eng = CdcEngine(spark, LOG, table, lsn_budget=8000, **kw)
         final = eng.run_to_completion()
         print(f"VERIFY resume: final_epoch={final} rows={table.read(spark).count()}")
     elif phase == "rerun":
-        table = SnapshotTable(TABLE)
-        eng = CdcEngine(spark, LOG, table, lsn_budget=8000)
+        table = SnapshotTable(table_path)
+        eng = CdcEngine(spark, LOG, table, lsn_budget=8000, **kw)
         res = eng.run_epoch()
         assert res is None, f"re-apply must be a no-op, got {res}"
         print("VERIFY rerun: no-op ok")
@@ -53,7 +59,7 @@ def main(phase: str) -> None:
         sys.path.insert(0, "/root/repo")
         from tests.oracle_replay import replay
 
-        table = SnapshotTable(TABLE)
+        table = SnapshotTable(table_path)
         got = (
             table.read(spark)
             .select("doc_id", "tokens", "n_tok", "source")

@@ -81,3 +81,16 @@ def test_cli_mor_replay_then_compact_files(changelog_dir, tmp_path):
                "--lsn-budget", "1000000000")
     assert r2["rows"] == cow["rows"]
     assert r2["checkpoints"] == cow["checkpoints"]
+
+
+def test_cli_compact_files_rejects_nonpositive_target(tmp_path):
+    from canal_spark.plans.table import SnapshotTable
+
+    SnapshotTable.create(str(tmp_path / "t"), n_buckets=2)
+    out = subprocess.run(
+        [sys.executable, "-m", "canal_spark", "maintain",
+         "--table", str(tmp_path / "t"), "--compact-files", "0"],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 2
+    assert "must be positive" in out.stderr

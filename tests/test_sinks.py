@@ -173,3 +173,18 @@ def test_streaming_sink_fanout(spark, changelog_dir, tmp_path):
     assert su.apply_batch(spark.read.parquet(changelog_dir), 0) is True
     msgs = parse_flat_messages(spark.read.text(sink.epoch_dir(1)), json_col="value")
     assert msgs.count() == msgs.select("row.doc_id").distinct().count() > 0
+
+
+def test_mapping_rejects_dim_column_collision(spark):
+    """A dim column (beyond the join key) shadowing a delta column
+    would survive the join as a duplicate name — rejected upfront with
+    the collision list."""
+    import pytest
+
+    from canal_spark.sinks import SinkMapping
+
+    dim = spark.createDataFrame(
+        [("src0", 9, "x")], "source string, n_tok int, tier string"
+    )
+    with pytest.raises(ValueError, match=r"n_tok"):
+        SinkMapping(dim=dim, on=("source", "source")).apply(_delta(spark))
