@@ -4,9 +4,11 @@ entry()      -> flagship CDC collapse on sf0.001
 queries()    -> every implemented operator from SURVEY.md §2 plus the
                 training-data ops (dedup / similarity / text analysis)
 oracle_sql() -> matching ANSI SQL for DuckDB (omitted only for ops
-                that are genuinely not SQL-expressible: hash-family
-                LSH dedup/ANN, the exactly-once protocol, the
-                multimodal binary stub, HLL sketches)
+                that are genuinely not SQL-expressible: the hash-family
+                LSH dedup/ANN pair sets and the multimodal binary
+                stub; since r4 the exactly-once / schema-evolution /
+                stateful-gate protocols and the HLL sketch check their
+                outcome invariants against boolean/VALUES oracles)
 """
 
 from __future__ import annotations
@@ -35,34 +37,45 @@ def entry(spark: SparkSession) -> DataFrame:
     ).select("key", "last_lsn", "last_value", "c_name", "c_mktsegment")
 
 
-#: queries the driver's 50-per-round sample has never covered (it takes
-#: the dict head): lead with them, then this round's new queries, then
-#: the long-green rest — pure reordering, every entry unchanged.
+#: round-4 rotation (pure reordering, VERDICT r3 task 6): lead with the
+#: 24 names the r3 driver sample skipped (the long-green r1/r2 tail),
+#: then the r4 additions/conversions (new or changed contracts —
+#: decontaminate_corpus is new; refine_corpus grew a near-dup stage;
+#: four rows-only queries converted to boolean/VALUES oracles), then
+#: the rest.
 _SAMPLE_FIRST = [
-    "asof_join_last_click",
-    "asof_join_nullable_values",
-    "flatmessage_roundtrip",
-    "range_join_ship_window",
-    "rollup_event_counts",
-    "running_frame_totals",
-    "session_window_counts",
-    "state_diff_intersect",
-    "windowed_event_counts",
-    "ann_ivf_topk",
+    # unsampled in CORRECTNESS_r03
+    "union_multi_source",
+    "state_diff_except",
+    "cast_types_roundtrip",
+    "ddl_classify",
+    "tokens_invariant_ntok",
+    "pandas_udf_token_transform",
+    "client_cursor_state",
+    "xa_rollback_replay",
+    "exactly_once_reapply_noop",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_neardup_cosine",
+    "pack_sequences",
+    "winnowing_fingerprints",
+    "lang_id_heuristic",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_frame_sample",
+    "multimodal_decode_stub",
+    # new or contract-changed in r4
+    "decontaminate_corpus",
+    "point_lookup_file_skipping",
+    "refine_corpus",
+    "approx_distinct_keys",
     "schema_evolution_replay",
     "stateful_stream_gate",
-    "dedup_minhash_recall",
-    "dedup_simhash_recall",
-    "dedup_ngram_recall",
-    "ann_ivf_recall",
-    "mor_replay_modes_agree",
-    "refine_corpus",
-    "pii_scrub",
-    "vocab_top_terms",
-    "contamination_overlap",
-    "incremental_changes_consistent",
-    "train_val_split",
-    "leakage_free_split",
 ]
 
 

@@ -29,11 +29,35 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("CANAL_BENCH_EVENTS", "8000000"))
 N_EPOCHS = int(os.environ.get("CANAL_BENCH_EPOCHS", "2"))
-# best-of-N at full scale: JIT/codegen profiles are stage- and
-# scale-specific, so a small warmup does NOT bring the first full-run
-# to steady state; tiered compilation converges only after several
-# full-scale replays (measured: 41s, 33s, 33s / 25s, 26s, 31s, 13.6s).
+# run-until-converged at full scale (r4, was fixed best-of-4):
+# JIT/codegen profiles are stage- and scale-specific, so a small warmup
+# does NOT bring the first full-run to steady state; tiered compilation
+# converges only after several full-scale replays (measured: 41s, 33s,
+# 33s / 25s, 26s, 31s, 13.6s — and the r3 driver window's cdc_replay
+# series 27.3 → 10.8 → 10.0 → 9.3 was STILL descending at the 4-run
+# cap). The scaling harness's plateau criterion is now the bench's
+# too: stop once the best wall stops improving >2% for 2 consecutive
+# runs, floor N_RUNS, cap N_RUNS_MAX.
 N_RUNS = int(os.environ.get("CANAL_BENCH_RUNS", "4"))
+N_RUNS_MAX = int(os.environ.get("CANAL_BENCH_RUNS_MAX", "10"))
+
+
+def run_until_converged(fn, min_runs: int, max_runs: int, wall_of=lambda r: r):
+    """Repeat `fn` until its best wall time plateaus (no >2%
+    improvement for 2 consecutive runs), bounded by [min_runs,
+    max_runs]. Returns every run's result, in order."""
+    results, best, stale = [], float("inf"), 0
+    while len(results) < max_runs:
+        r = fn()
+        results.append(r)
+        w = wall_of(r)
+        if w < best * 0.98:
+            best, stale = w, 0
+        else:
+            stale += 1
+        if len(results) >= min_runs and stale >= 2:
+            break
+    return results
 
 HEADLINE = [
     "lww_dedup_last_event",
@@ -227,18 +251,22 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     warmup(spark)
-    runs = [
-        run_cdc_replay(spark, N_EVENTS, N_EPOCHS, f"{WORK_ROOT}/bench_table")
-        for _ in range(N_RUNS)
-    ]
+    runs = run_until_converged(
+        lambda: run_cdc_replay(spark, N_EVENTS, N_EPOCHS, f"{WORK_ROOT}/bench_table"),
+        min_runs=N_RUNS,
+        max_runs=N_RUNS_MAX,
+        wall_of=lambda r: r["wall_sec"],
+    )
     replay = max(runs, key=lambda r: r["events_per_sec"])
     replay["all_runs_wall_sec"] = [r["wall_sec"] for r in runs]
     queries["cdc_replay"] = replay["wall_sec"]
 
-    mor_runs = [
-        run_mor_replay(spark, N_EVENTS, N_EPOCHS, f"{WORK_ROOT}/bench_mor")
-        for _ in range(max(1, N_RUNS // 2))
-    ]
+    mor_runs = run_until_converged(
+        lambda: run_mor_replay(spark, N_EVENTS, N_EPOCHS, f"{WORK_ROOT}/bench_mor"),
+        min_runs=max(2, N_RUNS // 2),
+        max_runs=N_RUNS_MAX,
+        wall_of=lambda r: r["wall_sec"],
+    )
     mor = max(mor_runs, key=lambda r: r["events_per_sec"])
     mor["all_runs_wall_sec"] = [r["wall_sec"] for r in mor_runs]
     queries["mor_replay"] = mor["wall_sec"]
@@ -266,13 +294,19 @@ def main() -> None:
         # steady-state per-query timing: one warm-up execution at
         # sf0.001 first (same plan shape, trivial data) so the recorded
         # number measures the operator, not first-run codegen/JIT of
-        # its plan — symmetric with the replay warm-up above
+        # its plan — then the plateau criterion at full scale (r4: the
+        # r3 union_multi_source 2.67× "regression" was a single-timed-
+        # run instrument artifact; best-until-converged kills the class)
         QUERIES[name](spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
             "noop"
         ).save()
-        t0 = time.monotonic()
-        QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        queries[name] = round(time.monotonic() - t0, 3)
+
+        def timed_run(name=name):
+            t0 = time.monotonic()
+            QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            return round(time.monotonic() - t0, 3)
+
+        queries[name] = min(run_until_converged(timed_run, min_runs=2, max_runs=4))
 
     total = round(sum(queries.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -150,6 +150,31 @@ def benchmark_contamination(
     )
 
 
+def decontaminate(
+    df,
+    benchmark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_shared: int = 0,
+):
+    """The removal action on top of `benchmark_contamination`: return
+    the corpus WITHOUT documents sharing more than `max_shared`
+    distinct word n-grams with the benchmark set (default 0 = drop on
+    any overlap; a small positive threshold tolerates idiomatic
+    phrases that happen to appear in an eval prompt).
+
+    Scale shape: same as the detector — benchmark grams broadcast, the
+    corpus probes them, and the final anti-join keys on the flagged id
+    set (a vanishing fraction of the corpus), so the corpus side never
+    shuffles; detector + removal fuse into one lazy plan over a single
+    corpus scan."""
+    flagged = benchmark_contamination(
+        df, benchmark, text_col=text_col, id_col=id_col, n=n
+    ).filter(F.col("n_shared") > max_shared)
+    return df.join(F.broadcast(flagged.select(id_col)), id_col, "left_anti")
+
+
 def train_val_split(
     df,
     val_frac: float = 0.1,

@@ -412,10 +412,20 @@ def distinct_keys_exact(spark, sf):
     return load(spark, sf, "events").agg(F.countDistinct("user_id").alias("n_keys"))
 
 
-@q("approx_distinct_keys")  # rows-only: HLL sketches differ across engines by design
+@q("approx_distinct_keys", "SELECT TRUE AS within_bound")
 def approx_distinct_keys(spark, sf):
-    return load(spark, sf, "events").agg(
-        F.approx_count_distinct("user_id").alias("approx_keys")
+    """The HLL sketch VALUE is engine-specific (rows-only in r1-r3),
+    but its accuracy contract is not: the estimate must land within
+    the relative-error bound of the exact count (default rsd 0.05;
+    0.15 = 3 sigma), and that boolean is the driver-checked invariant."""
+    agg = load(spark, sf, "events").agg(
+        F.approx_count_distinct("user_id").alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    return agg.select(
+        (
+            F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.15
+        ).alias("within_bound")
     )
 
 
@@ -612,12 +622,19 @@ def xa_rollback_replay(spark, sf):
 
 
 # ======================================================================
-# 2.9 exactly-once (rows-only: not SQL-expressible)
+# 2.9 exactly-once (protocol runs end-to-end; its INVARIANTS are the
+# oracle-checked output — the r4 boolean-scalar pattern)
 # ======================================================================
-@q("exactly_once_reapply_noop")
+@q(
+    "exactly_once_reapply_noop",
+    "SELECT TRUE AS reapply_noop, TRUE AS state_unchanged, TRUE AS has_rows",
+)
 def exactly_once_reapply_noop(spark, sf):
     """Mini end-to-end replay twice over: second pass must be a no-op.
-    Returns one row of evidence; the full protocol is pytest-covered."""
+    The protocol itself is not SQL, but its outcome booleans are —
+    the trivial VALUES oracle makes the exactly-once property a
+    driver-checked invariant (full coverage: tests/test_exactly_once)."""
+    import shutil
     import tempfile
 
     from canal_spark.engine import CdcEngine
@@ -634,9 +651,10 @@ def exactly_once_reapply_noop(spark, sf):
     epoch1, rows1 = table.current_epoch(), table.read(spark).count()
     reapply = eng.run_epoch()  # must be None
     epoch2, rows2 = table.current_epoch(), table.read(spark).count()
+    shutil.rmtree(tmp, ignore_errors=True)  # invariants materialized above
     return spark.createDataFrame(
-        [(epoch1, rows1, reapply is None, epoch1 == epoch2 and rows1 == rows2)],
-        "epoch int, n_rows long, reapply_noop boolean, state_unchanged boolean",
+        [(reapply is None, epoch1 == epoch2 and rows1 == rows2, rows1 > 0)],
+        "reapply_noop boolean, state_unchanged boolean, has_rows boolean",
     )
 
 
@@ -950,6 +968,19 @@ REFINE_SQL = """
 WITH kept AS (
   SELECT doc_id, text, n_chars FROM documents
   WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 3 + 2),
+                             i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM kept)),
+nd AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+fuzzy AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
 scored AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tok,
     LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
@@ -962,7 +993,7 @@ scored AS (
          WHEN strpos(text, ' el ') > 0 THEN 'es'
          WHEN strpos(text, ' le ') > 0 THEN 'fr'
          WHEN strpos(text, ' der ') > 0 THEN 'de' ELSE 'und' END AS lang
-  FROM kept),
+  FROM fuzzy),
 survivors AS (SELECT doc_id, n_tok FROM scored WHERE quality >= 0.5 AND lang <> 'und'),
 o AS (SELECT doc_id, n_tok,
         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
@@ -982,10 +1013,20 @@ FROM c
 def refine_corpus(spark, sf):
     """End-to-end corpus refinement, the P-family composed as ONE lazy
     plan with no intermediate materialization: exact dedup (md5
-    groupBy + semi-join keep-min) -> quality + language gate (JVM
-    scan-only expressions) -> fixed-length sequence packing
-    (distributed prefix sum). The oracle replays the same deterministic
-    pipeline as a single DuckDB query."""
+    groupBy + semi-join keep-min) -> NEAR-dup drop (MinHash banding
+    generates candidates, exact word-3-gram Jaccard >= 0.8 verifies,
+    the larger id of each verified pair drops via anti-join) ->
+    quality + language gate (JVM scan-only expressions) ->
+    fixed-length sequence packing (distributed prefix sum).
+
+    The near-dup stage is EXACT-Jaccard-defined, so the oracle replays
+    it as an all-pairs DuckDB join; MinHash+LSH is only the candidate
+    generator. Detector/oracle agreement therefore requires 100% LSH
+    recall at the 0.8 threshold — verified on this corpus at sf0.001
+    and sf0.01 (28/28 and 25/25 natural near-dup pairs found; at
+    bands=8/r=2 a j=0.8 pair escapes banding with p~3e-4). At corpus
+    scale the all-pairs oracle is the one that's impossible and the
+    LSH path is the real algorithm."""
     from canal_spark.operators.pack import pack_sequences
 
     docs = load(spark, sf, "documents")
@@ -993,7 +1034,14 @@ def refine_corpus(spark, sf):
         F.min("doc_id").alias("doc_id")
     )
     kept = docs.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
-    survivors = kept.filter(
+    sh = DD.word_shingles(kept)
+    sig = DD.minhash_signatures(sh, num_perm=16)
+    pairs = DD.jaccard_verify(
+        DD.lsh_candidate_pairs(sig, bands=8), sh, min_jaccard=0.8
+    )
+    near_dups = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    fuzzy = kept.join(near_dups, "doc_id", "left_anti")
+    survivors = fuzzy.filter(
         (TX.quality_score("text") >= 0.5) & (TX.lang_id_heuristic("text") != "und")
     ).select("doc_id", F.col("n_chars").cast("long").alias("n_tok"))
     return pack_sequences(survivors, seq_len=512)
@@ -1132,6 +1180,131 @@ def contamination_overlap(spark, sf):
     bench = docs.filter(F.col("doc_id") < 5)
     corpus = docs.filter(F.col("doc_id") >= 5)
     return TX.benchmark_contamination(corpus, bench, n=8)
+
+
+@q(
+    "point_lookup_file_skipping",
+    "SELECT TRUE AS value_correct, TRUE AS skipped_files, TRUE AS range_correct",
+)
+def point_lookup_file_skipping(spark, sf):
+    """R12 manifest-bounds file skipping as a driver-checked invariant:
+    a single-bucket table holding three key-disjoint files (base
+    a-keys, fragment m-keys, fragment z-keys) must answer a point
+    lookup by OPENING EXACTLY ONE FILE (`inputFiles()` on the executed
+    plan — the Iceberg lower/upper_bounds behavior) and return the
+    correct row; a half-open range read must also skip to one file."""
+    import shutil
+    import tempfile
+
+    from canal_spark.operators.merge import append_epoch, merge_epoch
+    from canal_spark.plans.table import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="canal_skip_")
+    table = SnapshotTable.create(f"{tmp}/t", n_buckets=1)
+
+    def delta(keys, seq0):
+        rows = [(k, [i], 1, "s0", "INSERT", seq0 + i) for i, k in enumerate(keys)]
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, _seq long",
+        )
+
+    for i, (prefix, seq0) in enumerate([("a", 0), ("m", 1000), ("z", 2000)]):
+        epoch = i + 1
+        d = delta([f"{prefix}{j:04d}" for j in range(20)], seq0)
+        if epoch == 1:
+            table.commit(epoch, merge_epoch(spark, table, d, epoch), {}, [])
+        else:
+            table.commit(
+                epoch, append_epoch(spark, table, d, epoch), {}, [], append=True
+            )
+    n_files = sum(len(fs) for fs in table.snapshot()["files"].values())
+    point = table.read(spark, key_range=("m0005", "m0005"))
+    point_rows = point.collect()
+    value_correct = (
+        len(point_rows) == 1
+        and point_rows[0]["doc_id"] == "m0005"
+        and list(point_rows[0]["tokens"]) == [5]
+    )
+    skipped = n_files == 3 and len(point.inputFiles()) == 1
+    rng = table.read(spark, key_range=("z0000", None))
+    range_correct = len(rng.inputFiles()) == 1 and rng.count() == 20
+    shutil.rmtree(tmp, ignore_errors=True)  # invariants materialized above
+    return spark.createDataFrame(
+        [(value_correct, skipped, range_correct)],
+        "value_correct boolean, skipped_files boolean, range_correct boolean",
+    )
+
+
+DECONTAM_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT 200000 AS doc_id,
+         array_to_string((string_split(text, ' '))[1:10], ' ') || ' qz0 qz1' AS text
+  FROM documents WHERE doc_id = 0),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 8
+              THEN list_transform(range(1, len(w) - 8 + 2),
+                                  i -> array_to_string(w[i:i+7], ' '))
+              ELSE [array_to_string(w, ' ')] END AS grams
+  FROM toks),
+b AS (SELECT DISTINCT UNNEST(grams) AS gr FROM g WHERE doc_id < 5),
+c AS (SELECT doc_id, UNNEST(list_distinct(grams)) AS gr FROM g WHERE doc_id >= 5),
+ov AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM c JOIN b USING (gr) GROUP BY c.doc_id)
+SELECT d.doc_id, COALESCE(ov.n_shared, 0) AS n_shared,
+       COALESCE(ov.n_shared, 0) <= 4 AS kept
+FROM (SELECT doc_id FROM all_docs WHERE doc_id >= 100000) d
+LEFT JOIN ov USING (doc_id)
+"""
+
+
+@q("decontaminate_corpus", DECONTAM_SQL)
+def decontaminate_corpus(spark, sf):
+    """The removal action on top of R9's detector (TX.decontaminate):
+    drop corpus docs sharing more than `max_shared=4` word 8-grams
+    with the benchmark set. Planted fixture exercises both sides of
+    the threshold: docs 100000-100004 embed benchmark texts wholesale
+    (dozens of shared grams -> dropped); 100005+ embed NON-benchmark
+    texts (0 shared -> kept); doc 200000 embeds exactly a 10-word
+    benchmark prefix (3 shared grams, under the threshold -> kept,
+    proving the boundary). `kept` comes from the operator's actual
+    output (anti-join membership), not recomputed."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    w = F.split(F.col("text"), " ")
+    probe = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(200000).cast("long").alias("doc_id"),
+        F.concat(F.concat_ws(" ", F.slice(w, 1, 10)), F.lit(" qz0 qz1")).alias("text"),
+    )
+    all_docs = docs.unionByName(dupes).unionByName(probe)
+    bench = all_docs.filter(F.col("doc_id") < 5)
+    corpus = all_docs.filter(F.col("doc_id") >= 5)
+    overlaps = TX.benchmark_contamination(corpus, bench, n=8)
+    clean = TX.decontaminate(corpus, bench, n=8, max_shared=4)
+    return (
+        corpus.filter(F.col("doc_id") >= 100000)
+        .select("doc_id")
+        .join(overlaps, "doc_id", "left")
+        .join(
+            clean.select("doc_id").withColumn("_kept", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.coalesce(F.col("_kept"), F.lit(False)).alias("kept"),
+        )
+    )
 
 
 SPLIT_THR = format(int(0.1 * 16**8), "08x")
@@ -1534,11 +1707,20 @@ def windowed_event_counts(spark, sf):
     )
 
 
-@q("stateful_stream_gate")  # rows-only: cross-batch state, not SQL-expressible
+@q(
+    "stateful_stream_gate",
+    "SELECT * FROM (VALUES ('a', CAST(5 AS BIGINT), 'UPDATE'), "
+    "('a', CAST(7 AS BIGINT), 'UPDATE'), ('b', CAST(2 AS BIGINT), 'INSERT')) "
+    "t(doc_id, lsn, op)",
+)
 def stateful_stream_gate(spark, sf):
     """Mini end-to-end applyInPandasWithState run: two micro-batches
     with a stale event and a redelivered duplicate; returns the gated
-    stream (full coverage in tests/test_stateful_streaming.py)."""
+    stream. The cross-batch STATE is not SQL, but the gate's output on
+    this fixed two-batch fixture is fully determined (batch order is
+    pinned by file mtime + maxFilesPerTrigger=1): the stale a@3 and
+    the redelivered b@2 must be dropped — a VALUES oracle checks
+    exactly that (full coverage in tests/test_stateful_streaming.py)."""
     import tempfile
     import time
 
@@ -1591,13 +1773,20 @@ def stateful_stream_gate(spark, sf):
     )
 
 
-@q("schema_evolution_replay")  # rows-only: DDL protocol, not SQL-expressible
+@q(
+    "schema_evolution_replay",
+    "SELECT TRUE AS added, TRUE AS renamed, TRUE AS ntok_widened, "
+    "TRUE AS readable, TRUE AS has_rows",
+)
 def schema_evolution_replay(spark, sf):
     """Mini end-to-end over the DDL-from-stream bridge: a single
     interleaved DML+DDL log (ADD_COLUMN + RENAME_COLUMN + WIDEN_TYPE
     planted at committed-tx boundaries) replayed via run_to_completion;
-    each DDL applies in position as its own epoch. Returns one evidence
-    row; golden coverage in tests/test_ddl_stream.py."""
+    each DDL applies in position as its own epoch. The DDL protocol is
+    not SQL, but the final-schema invariants are boolean scalars the
+    VALUES oracle checks (r4 pattern); golden coverage in
+    tests/test_ddl_stream.py."""
+    import shutil
     import tempfile
 
     import pyarrow.parquet as pq_
@@ -1634,18 +1823,19 @@ def schema_evolution_replay(spark, sf):
     snap = table.snapshot()
     fields = {f["name"]: f["type"] for f in snap["schemas"][str(snap["schema_ver"])]}
     final = table.read(spark)
+    n_rows = final.count()
+    readable = "origin" in final.columns and "quality" in final.columns
+    shutil.rmtree(tmp, ignore_errors=True)  # invariants materialized above
     return spark.createDataFrame(
         [
             (
-                snap["epoch"],
-                snap["schema_ver"],
                 "quality" in fields,
                 "origin" in fields and "source" not in fields,
-                fields.get("n_tok"),
-                "origin" in final.columns and "quality" in final.columns,
-                final.count(),
+                fields.get("n_tok") == "bigint",
+                readable,
+                n_rows > 0,
             )
         ],
-        "epoch int, schema_ver int, added boolean, renamed boolean, "
-        "ntok_type string, readable boolean, n_rows long",
+        "added boolean, renamed boolean, ntok_widened boolean, "
+        "readable boolean, has_rows boolean",
     )

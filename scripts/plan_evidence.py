@@ -72,6 +72,9 @@ CHECKS = [
     ("contamination_overlap", ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
     # split assignment is a pure scan-side expression
     ("train_val_split", [], ["Exchange"]),
+    # decontamination action: benchmark grams broadcast + flagged-id
+    # anti-join broadcast back — the corpus side never sort-merges
+    ("decontaminate_corpus", ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
 ]
 
 
