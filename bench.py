@@ -46,6 +46,7 @@ def run_until_converged(fn, min_runs: int, max_runs: int, wall_of=lambda r: r):
     """Repeat `fn` until its best wall time plateaus (no >2%
     improvement for 2 consecutive runs), bounded by [min_runs,
     max_runs]. Returns every run's result, in order."""
+    max_runs = max(min_runs, max_runs)  # CANAL_BENCH_RUNS > _RUNS_MAX must not silently truncate
     results, best, stale = [], float("inf"), 0
     while len(results) < max_runs:
         r = fn()

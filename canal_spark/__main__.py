@@ -90,6 +90,16 @@ def cmd_status(args) -> int:
 def cmd_maintain(args) -> int:
     from canal_spark.plans.table import SnapshotTable
 
+    # validate EVERY argument before running ANY action: a maintenance
+    # invocation must not half-execute (e.g. commit a tombstone-GC
+    # epoch) and then die on a later flag's validation, discarding the
+    # JSON record of what it already did
+    if args.compact_files is not None and args.compact_files <= 0:
+        print(
+            f"--compact-files: TARGET_BYTES must be positive, got {args.compact_files}",
+            file=sys.stderr,
+        )
+        return 2
     table = SnapshotTable(args.table)
     out: dict = {}
     if args.rebucket is not None:
@@ -104,12 +114,6 @@ def cmd_maintain(args) -> int:
         eng = CdcEngine(spark, args.changelog, table)
         out["tombstones_dropped"] = eng.compact_tombstones()
     if args.compact_files is not None:
-        if args.compact_files <= 0:
-            print(
-                f"--compact-files: TARGET_BYTES must be positive, got {args.compact_files}",
-                file=sys.stderr,
-            )
-            return 2
         spark = _spark(args.master, args.cpus)
         packed = table.compact_files(spark, target_bytes=args.compact_files)
         out["compacted_buckets"] = {

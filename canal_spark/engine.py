@@ -303,7 +303,17 @@ class CdcEngine:
             prep.lineage_thread.join()
 
     def _execute(self, prep: "_Prepared") -> EpochResult:
-        """The write job + atomic commit for a prepared epoch."""
+        """The write job + atomic commit for a prepared epoch.
+
+        `committed=False` in the result means a concurrent commit won
+        the epoch number (out-of-band maintenance): no table state
+        changed and the caller must replan the slice (run_epoch's next
+        call does so from the durable checkpoints; the pipelined loop
+        replans explicitly). Sinks have already fanned out under the
+        lost number by then — the slice re-emits under its new epoch,
+        so a sink consumer may see the same delta under two epoch keys;
+        the wire contract already dedups on (source_partition, lsn)
+        watermarks (bus redelivery no-op, tests/test_bus_source.py)."""
         t0 = time.monotonic()
         try:
             delta = lww_collapse(
@@ -550,7 +560,7 @@ class CdcEngine:
             th = threading.Thread(target=_prepare_next, daemon=True)
             th.start()
             try:
-                self._execute(prep)
+                result = self._execute(prep)
             except BaseException:
                 # don't abandon the in-flight preparation: wait for it,
                 # then release its cached winners + lineage thread so a
@@ -561,6 +571,22 @@ class CdcEngine:
             th.join()
             if "err" in nxt:
                 raise nxt["err"]
+            if not result.committed:
+                # lost the epoch number to a concurrent commit (an
+                # out-of-band maintenance run won the exclusive
+                # publish): NOTHING of this slice reached the table,
+                # so the speculatively prepared next epoch — built on
+                # this slice's watermarks AND the stolen epoch number
+                # — must be discarded, and the slice replans from the
+                # durable state to reapply under the next number.
+                # Without this, the pre-prepared epoch would commit
+                # checkpoints past the lost slice and silently skip
+                # its events.
+                self._discard(nxt.get("prep"))
+                prep = self._prepare(
+                    self.table.checkpoints(), (self.table.current_epoch() or 0) + 1
+                )
+                continue
             prep = nxt.get("prep")
         return self.table.current_epoch() or 0
 

@@ -104,7 +104,22 @@ class SnapshotTable:
                     }
                 )
             except FileExistsError:
-                pass  # concurrent create published epoch 0 first — same content
+                # a concurrent create published epoch 0 first — only
+                # safe to proceed if it asked for the SAME layout;
+                # silently adopting a different bucket count / key /
+                # schema would corrupt every later routing decision
+                existing = t.snapshot(0)
+                if (
+                    existing["n_buckets"] != n_buckets
+                    or existing["key_col"] != key_col
+                    or existing["schemas"]["1"] != schema
+                ):
+                    raise ValueError(
+                        f"concurrent create of {root} with different "
+                        f"parameters: existing n_buckets="
+                        f"{existing['n_buckets']}/key={existing['key_col']}, "
+                        f"requested n_buckets={n_buckets}/key={key_col}"
+                    ) from None
         return t
 
     # ------------------------------------------------------- snapshots
@@ -278,7 +293,17 @@ class SnapshotTable:
         LWW-collapsed internally), so it scans plain: the
         merge-on-read read tax shrinks to the files that can actually
         conflict, e.g. a key-localized fragment over a range-ordered
-        base leaves the non-overlapping base slices window-free."""
+        base leaves the non-overlapping base slices window-free.
+
+        Complexity: O(n log n) interval sweep per bucket, not O(n^2)
+        pairwise — a long-uncompacted bucket (thousands of fragments
+        when auto-compaction is off) must not make read PLANNING
+        quadratic driver CPU. Fragments sort by key_min and merge into
+        disjoint contiguous clusters; each base then binary-searches
+        the cluster list (a base overlaps a cluster hull iff it
+        overlaps some member, because merged hulls are gap-free)."""
+        from bisect import bisect_left, bisect_right
+
         n = len(entries)
         parent = list(range(n))
 
@@ -288,14 +313,46 @@ class SnapshotTable:
                 i = parent[i]
             return i
 
-        for i in range(n):
-            fi = entries[i]
-            for j in range(i + 1, n):
-                fj = entries[j]
-                if (fi.get("frag") or fj.get("frag")) and cls._entries_overlap(fi, fj):
-                    ri, rj = find(i), find(j)
-                    if ri != rj:
-                        parent[rj] = ri
+        def union(i: int, j: int) -> None:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[rj] = ri
+
+        frag_idx = [i for i, e in enumerate(entries) if e.get("frag")]
+        if not frag_idx:
+            return [False] * n
+        if any("key_min" not in entries[i] for i in frag_idx):
+            # a boundless fragment conservatively overlaps everything:
+            # the whole bucket is one conflict component
+            for i in range(1, n):
+                union(0, i)
+        else:
+            # sweep: merge overlapping fragments into disjoint clusters
+            frag_idx.sort(key=lambda i: entries[i]["key_min"])
+            clusters: list[list] = []  # [start, hull_end, root]
+            for i in frag_idx:
+                lo, hi = entries[i]["key_min"], entries[i]["key_max"]
+                if clusters and lo <= clusters[-1][1]:
+                    union(clusters[-1][2], i)
+                    if hi > clusters[-1][1]:
+                        clusters[-1][1] = hi
+                else:
+                    clusters.append([lo, hi, i])
+            starts = [c[0] for c in clusters]
+            ends = [c[1] for c in clusters]
+            for i, e in enumerate(entries):
+                if e.get("frag"):
+                    continue
+                if "key_min" not in e:
+                    for c in clusters:  # boundless base joins every cluster
+                        union(c[2], i)
+                    continue
+                # clusters overlapping [e.key_min, e.key_max]: ends and
+                # starts are both sorted (clusters are disjoint)
+                first = bisect_left(ends, e["key_min"])
+                last = bisect_right(starts, e["key_max"])
+                for c in clusters[first:last]:
+                    union(c[2], i)
         sizes: dict[int, int] = {}
         for i in range(n):
             r = find(i)
@@ -690,44 +747,78 @@ class SnapshotTable:
 
         Rewrites only buckets that contain collectable tombstones, as
         one new commit epoch (snapshot isolation preserved; time travel
-        to earlier snapshots still sees the tombstones). Returns the
-        number of rows dropped."""
+        to earlier snapshots still sees the tombstones). Safe against a
+        concurrent writer like compact_files: staged files + exclusive
+        publish, replan-and-retry on conflict. Returns the number of
+        rows dropped."""
         from canal_spark.operators.lww import SP_BITS
 
-        snap = self.snapshot()
-        ckpts = self.checkpoints()
-        if source_partitions is not None:
-            for p in source_partitions:
-                ckpts.setdefault(int(p), -1)
-        if not ckpts:
-            return 0
-        bound = min((lsn + 1) << SP_BITS for lsn in ckpts.values())
-        if bound <= 0:
-            return 0
-        state = self.read(spark, internal=True)
-        dead = state.filter(F.col("_tombstone") & (F.col("_seq") < bound))
-        buckets = sorted(
-            r["bucket"] for r in dead.select("bucket").distinct().collect()
+        for _attempt in range(5):
+            snap = self.snapshot()
+            # checkpoints from the SAME pinned snapshot as the data
+            # scan below — reading self.checkpoints() separately could
+            # mix a newer snapshot's bound with this snapshot's rows
+            # if a commit lands in between
+            ckpts = {int(k): int(v) for k, v in snap["checkpoints"].items()}
+            if source_partitions is not None:
+                for p in source_partitions:
+                    ckpts.setdefault(int(p), -1)
+            if not ckpts:
+                return 0
+            bound = min((lsn + 1) << SP_BITS for lsn in ckpts.values())
+            if bound <= 0:
+                return 0
+            # manifest `seq_min` bounds prune the detection scan: a
+            # bucket whose every file holds only rows with
+            # `_seq >= bound` cannot contain a collectable tombstone —
+            # skip it without opening a file (after one GC pass, all
+            # newer data is skipped this way; absent bounds =
+            # conservatively scanned)
+            candidates = sorted(
+                int(b)
+                for b, fes in snap["files"].items()
+                if any(fe.get("seq_min", -1) < bound for fe in fes)
+            )
+            if not candidates:
+                return 0
+            state = self.read(
+                spark, epoch=snap["epoch"], buckets=candidates, internal=True
+            )
+            dead = state.filter(F.col("_tombstone") & (F.col("_seq") < bound))
+            buckets = sorted(
+                r["bucket"] for r in dead.select("bucket").distinct().collect()
+            )
+            if not buckets:
+                return 0
+            n_dead = dead.count()
+            epoch = snap["epoch"] + 1
+            keep = self.read(
+                spark, epoch=snap["epoch"], buckets=buckets, internal=True
+            ).filter(~(F.col("_tombstone") & (F.col("_seq") < bound)))
+            cols = [f["name"] for f in snap["schemas"][str(snap["schema_ver"])]]
+            out_dir = os.path.join(
+                self.data_dir, f"epoch={epoch}-gctomb-{uuid.uuid4().hex[:8]}"
+            )
+            (
+                keep.select(*cols, "_seq", "_tombstone", "bucket")
+                .repartition(len(buckets), "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(out_dir)
+            )
+            files = self._list_bucket_files(out_dir)
+            try:
+                committed = self.commit(
+                    epoch, {b: files.get(b, []) for b in buckets}, {}, []
+                )
+            except ValueError:
+                committed = False
+            if committed:
+                return int(n_dead)
+        raise RuntimeError(
+            "compact_tombstones: 5 consecutive commit conflicts — "
+            "writer is outpacing maintenance; rerun when ingest is quieter"
         )
-        if not buckets:
-            return 0
-        n_dead = dead.count()
-        epoch = snap["epoch"] + 1
-        keep = self.read(spark, buckets=buckets, internal=True).filter(
-            ~(F.col("_tombstone") & (F.col("_seq") < bound))
-        )
-        cols = [f["name"] for f in snap["schemas"][str(snap["schema_ver"])]]
-        out_dir = self.epoch_data_dir(epoch)
-        (
-            keep.select(*cols, "_seq", "_tombstone", "bucket")
-            .repartition(len(buckets), "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(out_dir)
-        )
-        files = self.list_epoch_files(epoch)
-        self.commit(epoch, {b: files.get(b, []) for b in buckets}, {}, [])
-        return int(n_dead)
 
     def compact_files(
         self,
@@ -873,32 +964,50 @@ class SnapshotTable:
         merge metadata (_seq, _tombstone) is preserved; replay resumes
         against the new layout with no engine changes (bucket count is
         read from the current snapshot every epoch); earlier snapshots
-        still time-travel against the old layout until expired."""
-        snap = self.snapshot()
-        if new_n_buckets == snap["n_buckets"]:
-            return snap["epoch"]
-        epoch = snap["epoch"] + 1
-        cols = [f["name"] for f in snap["schemas"][str(snap["schema_ver"])]]
-        state = self.read(spark, with_bucket=False, internal=True)
-        out_dir = self.epoch_data_dir(epoch)
-        (
-            state.withColumn("bucket", bucket_expr(snap["key_col"], new_n_buckets))
-            .select(*cols, "_seq", "_tombstone", "bucket")
-            .repartition(new_n_buckets, "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(out_dir)
+        still time-travel against the old layout until expired.
+
+        Conflict-safe like the other maintenance rewrites: staged files
+        + exclusive publish; a commit landing mid-rewrite triggers a
+        replan from the new snapshot (the full rewrite re-runs — an
+        honest retry cost for a full-table operation)."""
+        for _attempt in range(5):
+            snap = self.snapshot()
+            if new_n_buckets == snap["n_buckets"]:
+                return snap["epoch"]
+            epoch = snap["epoch"] + 1
+            cols = [f["name"] for f in snap["schemas"][str(snap["schema_ver"])]]
+            state = self.read(
+                spark, epoch=snap["epoch"], with_bucket=False, internal=True
+            )
+            out_dir = os.path.join(
+                self.data_dir, f"epoch={epoch}-rebucket-{uuid.uuid4().hex[:8]}"
+            )
+            (
+                state.withColumn("bucket", bucket_expr(snap["key_col"], new_n_buckets))
+                .select(*cols, "_seq", "_tombstone", "bucket")
+                .repartition(new_n_buckets, "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(out_dir)
+            )
+            files = self._list_bucket_files(out_dir)
+            try:
+                committed = self.commit(
+                    epoch,
+                    rewritten=files,
+                    checkpoints={},
+                    lineage=[],
+                    n_buckets_update=new_n_buckets,
+                    replace_all=True,
+                )
+            except ValueError:
+                committed = False
+            if committed:
+                return epoch
+        raise RuntimeError(
+            "rebucket: 5 consecutive commit conflicts — writer is "
+            "outpacing maintenance; rerun when ingest is quieter"
         )
-        files = self.list_epoch_files(epoch)
-        self.commit(
-            epoch,
-            rewritten=files,
-            checkpoints={},
-            lineage=[],
-            n_buckets_update=new_n_buckets,
-            replace_all=True,
-        )
-        return epoch
 
     def remove_orphans(self, min_age_seconds: float = 0.0) -> int:
         """Delete data files referenced by NO remaining snapshot

@@ -182,7 +182,7 @@ def test_read_changes_opens_only_differing_buckets(spark, changelog_dir, tmp_pat
 # ------------------------------------------- optimistic-commit compaction
 
 
-def test_compact_files_retries_on_concurrent_commit(spark, tmp_path):
+def test_compact_files_retries_on_concurrent_commit(spark, tmp_path, monkeypatch):
     """A commit landing between compaction's snapshot read and its
     publish must not be clobbered: compaction loses the race, replans
     on the new snapshot, and succeeds on retry."""
@@ -191,27 +191,10 @@ def test_compact_files_retries_on_concurrent_commit(spark, tmp_path):
     for i in range(3):
         _commit_frag(spark, table, keys("a", 5, start=10 * i), seq0=1000 * (i + 1))
     pre_epoch = table.current_epoch()
-
-    real_write = SnapshotTable._write_snapshot
-    raced = {"done": False}
-
-    def racing_write(self, snap):
-        if not raced["done"]:
-            raced["done"] = True
-            # the concurrent writer commits a carry-forward epoch with
-            # the SAME number first (engine taking the next epoch)
-            parent = self.snapshot(snap["epoch"] - 1)
-            stolen = {**parent, "epoch": snap["epoch"], "parent": snap["epoch"] - 1}
-            real_write(self, stolen)
-        return real_write(self, snap)
-
     before = sorted(map(tuple, table.read(spark).collect()))
-    try:
-        SnapshotTable._write_snapshot = racing_write
-        folded = table.compact_files(spark)
-    finally:
-        SnapshotTable._write_snapshot = real_write
-    assert folded, "compaction must succeed after the conflict"
+    raced = _race_once(monkeypatch)
+    folded = table.compact_files(spark)
+    assert raced["done"] and folded, "compaction must succeed after the conflict"
     # conflict epoch + compaction epoch
     assert table.current_epoch() == pre_epoch + 2
     assert sorted(map(tuple, table.read(spark).collect())) == before
@@ -241,3 +224,70 @@ def test_compact_files_bucket_subset_folds_only_requested(spark, tmp_path):
     snap2 = table.snapshot()
     assert not any(fe.get("frag") for fe in snap2["files"][str(target)])
     assert any(fe.get("frag") for fe in snap2["files"][str(fragged[1])])
+
+
+def _race_once(monkeypatch):
+    """Patch _write_snapshot so the FIRST publish is preceded by a
+    concurrent carry-forward commit stealing the epoch number."""
+    real_write = SnapshotTable._write_snapshot
+    raced = {"done": False}
+
+    def racing_write(self, snap):
+        if not raced["done"]:
+            raced["done"] = True
+            parent = self.snapshot(snap["epoch"] - 1)
+            stolen = {**parent, "epoch": snap["epoch"], "parent": snap["epoch"] - 1}
+            real_write(self, stolen)
+        return real_write(self, snap)
+
+    monkeypatch.setattr(SnapshotTable, "_write_snapshot", racing_write)
+    return raced
+
+
+def test_compact_tombstones_retries_on_concurrent_commit(
+    spark, changelog_dir, oracle_state, tmp_path, monkeypatch
+):
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    eng = CdcEngine(spark, changelog_dir, table, lsn_budget=10**9)
+    eng.run_to_completion()
+    pre = table.current_epoch()
+    before = sorted(map(tuple, table.read(spark).collect()))
+    raced = _race_once(monkeypatch)
+    dropped = eng.compact_tombstones()
+    assert raced["done"] and dropped > 0
+    assert table.current_epoch() == pre + 2  # conflict epoch + gc epoch
+    assert sorted(map(tuple, table.read(spark).collect())) == before
+    # fixpoint: every COLLECTABLE tombstone went (those above the
+    # weakest-partition bound legitimately remain)
+    assert eng.compact_tombstones() == 0
+
+
+def test_rebucket_retries_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=2)
+    _commit_base(spark, table, keys("a", 60))
+    before = sorted(map(tuple, table.read(spark, with_bucket=False).collect()))
+    raced = _race_once(monkeypatch)
+    epoch = table.rebucket(spark, 8)
+    assert raced["done"]
+    snap = table.snapshot()
+    assert snap["epoch"] == epoch and snap["n_buckets"] == 8
+    assert sorted(map(tuple, table.read(spark, with_bucket=False).collect())) == before
+
+
+def test_pipelined_replay_survives_lost_commit_race(
+    spark, changelog_dir, oracle_state, tmp_path, monkeypatch
+):
+    """A maintenance commit stealing an epoch number mid-replay must
+    not lose that epoch's slice: the engine discards the speculative
+    next-epoch prep and replans from the durable state, and the final
+    table still matches the oracle replay exactly."""
+    from tests.conftest import assert_state_equals_oracle
+
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    raced = _race_once(monkeypatch)
+    eng = CdcEngine(spark, changelog_dir, table, lsn_budget=400)
+    eng.run_to_completion()
+    assert raced["done"], "the race must have fired"
+    assert_state_equals_oracle(table.read(spark), oracle_state)
+    # checkpoints cover the whole log: nothing was skipped
+    assert eng.run_epoch() is None
