@@ -72,6 +72,8 @@ _SAMPLE_FIRST = [
     # new or contract-changed in r4
     "decontaminate_corpus",
     "point_lookup_file_skipping",
+    "shuffle_shards",
+    "sample_stratified",
     "refine_corpus",
     "approx_distinct_keys",
     "schema_evolution_replay",

@@ -206,6 +206,60 @@ def train_val_split(
     )
 
 
+def shuffle_shards(
+    df,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+):
+    """Adds `shard` and `rank_in_shard`: the deterministic sharded
+    shuffle a training dataloader consumes — every example lands in a
+    pseudo-random shard with a pseudo-random position, reproducible
+    across runs/partitionings/engines (md5 of the seeded id, no RNG
+    state), and re-seedable per epoch of training.
+
+    Scale shape: this is how you shuffle 10^10 examples WITHOUT a
+    global sort — shard assignment is a scan-side expression and the
+    rank is a window per shard (one hash-partitioned exchange, each
+    shard sorts independently). A single ORDER BY rand() over the
+    corpus — the naive formulation — is a global sort with one
+    unbounded final merge; sharded order is what dataloaders read
+    anyway (one file list per worker)."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+    shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards))
+    out = df.withColumn("shard", shard.cast("int"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("shard").orderBy(h, F.col(id_col).cast("string"))
+    return out.withColumn("rank_in_shard", F.row_number().over(w))
+
+
+def sample_stratified(
+    df,
+    group_col: str,
+    k: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+):
+    """At most `k` rows per group, chosen deterministically (md5 order
+    of the seeded id — a reproducible uniform draw, no RNG state): the
+    per-language / per-source quota sampling every corpus-curation
+    pipeline runs before mixing. Scale shape: one hash exchange on the
+    group key + per-group top-k window; with bounded `k` the window
+    never materializes a group (rank-and-filter streams), so a
+    10^6-document language and a 10^10-document language cost the
+    same output."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(group_col).orderBy(h, F.col(id_col).cast("string"))
+    return (
+        df.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
 def winnowing_fingerprints(
     df,
     text_col: str = "text",

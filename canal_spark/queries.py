@@ -1364,6 +1364,56 @@ def leakage_free_split(spark, sf):
     return straddling.crossJoin(has_val)
 
 
+SHUFFLE_SQL = """
+WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#0') AS hx FROM documents),
+s AS (SELECT doc_id, hx,
+        CAST(('0x' || substring(hx, 1, 8))::BIGINT % 64 AS INT) AS shard
+      FROM h)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+            ORDER BY hx, CAST(doc_id AS VARCHAR)) AS INT) AS rank_in_shard
+FROM s
+"""
+
+
+@q("shuffle_shards", SHUFFLE_SQL)
+def shuffle_shards_q(spark, sf):
+    """Deterministic sharded shuffle for training order (P16): shard =
+    hash of the seeded id (scan-side), position = per-shard window —
+    how 10^10 examples shuffle WITHOUT the naive global ORDER BY
+    rand() single-merge sort. Engine-portable by construction (md5
+    only), hence the full SQL oracle."""
+    return TX.shuffle_shards(
+        load(spark, sf, "documents"), n_shards=64, seed=0
+    ).select("doc_id", "shard", "rank_in_shard")
+
+
+STRAT_SQL = """
+WITH h AS (SELECT doc_id, lang,
+             md5(CAST(doc_id AS VARCHAR) || '#7') AS hx FROM documents),
+r AS (SELECT doc_id, lang,
+        ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY hx, CAST(doc_id AS VARCHAR)) AS rn
+      FROM h)
+SELECT doc_id, lang FROM r WHERE rn <= 25
+"""
+
+
+@q("sample_stratified", STRAT_SQL)
+def sample_stratified_q(spark, sf):
+    """Per-group quota sampling (P17): at most k rows per language,
+    drawn by deterministic hash order (reproducible across runs,
+    partitionings, and engines) — the per-language / per-source
+    balancing pass of corpus mixing. One hash exchange on the group
+    key; rank-and-filter never materializes a group."""
+    return TX.sample_stratified(
+        load(spark, sf, "documents").select("doc_id", "lang"),
+        group_col="lang",
+        k=25,
+        seed=7,
+    )
+
+
 @q(
     "doc_fingerprint",
     "SELECT doc_id, md5(concat(lang, ':', text)) AS fp FROM documents",

@@ -75,6 +75,10 @@ CHECKS = [
     # decontamination action: benchmark grams broadcast + flagged-id
     # anti-join broadcast back — the corpus side never sort-merges
     ("decontaminate_corpus", ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # sharded shuffle / quota sampling: per-shard (per-group) windows
+    # over ONE hash exchange — never a global single-partition sort
+    ("shuffle_shards", ["Window"], ["SinglePartition"]),
+    ("sample_stratified", ["Window"], ["SinglePartition"]),
 ]
 
 
