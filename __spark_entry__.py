@@ -74,6 +74,8 @@ _SAMPLE_FIRST = [
     "point_lookup_file_skipping",
     "shuffle_shards",
     "sample_stratified",
+    "intra_doc_repetition",
+    "mix_corpora",
     "refine_corpus",
     "approx_distinct_keys",
     "schema_evolution_replay",

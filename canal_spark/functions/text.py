@@ -260,6 +260,64 @@ def sample_stratified(
     )
 
 
+def intra_doc_repetition(
+    df,
+    text_col: str = "text",
+    n: int = 2,
+):
+    """Adds `dup_ngram_frac` — the fraction of repeated word n-grams
+    WITHIN each document (1 - distinct/total), the Gopher-style
+    repetition heuristic: boilerplate, scraped menus, and
+    degenerate-generation text score high and get gated before
+    training. Pure scan-side JVM array expressions (no explode, no
+    shuffle): at 10^10 docs this is a free rider on whatever scan is
+    already running."""
+    from canal_spark.operators.dedup import word_shingles
+
+    with_sh = word_shingles(df, text_col=text_col, w=n)
+    frac = F.when(
+        F.size("shingles") > 0,
+        1.0
+        - F.size(F.array_distinct("shingles")).cast("double")
+        / F.size("shingles").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return with_sh.withColumn("dup_ngram_frac", frac).drop("shingles")
+
+
+def mix_corpora(
+    sources: list,
+    weights: list,
+    seed: int = 0,
+    id_col: str = "doc_id",
+):
+    """Weighted deterministic corpus mixing: source i keeps each row
+    with probability `weights[i]` (md5-threshold draw on the seeded
+    id — reproducible, stateless, partitioning-independent, no RNG),
+    tagged with `mix_source` = i, then unioned. The down-sampling
+    pass that turns N raw corpora into one training mix at declared
+    ratios; a weight > 1.0 keeps everything (upsampling by repetition
+    is the dataloader's job, not the table's).
+
+    Scale shape: per-source scan-side filter + union — zero shuffles;
+    Catalyst pushes the hash predicate into each source's scan."""
+    if len(sources) != len(weights):
+        raise ValueError("sources and weights must align")
+    parts = []
+    for i, (src, wt) in enumerate(zip(sources, weights)):
+        thr = format(min(max(int(wt * 16**8), 0), 16**8 - 1), "08x")
+        kept = src.filter(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))), 1, 8
+            )
+            < F.lit(thr)
+        ) if wt < 1.0 else src
+        parts.append(kept.withColumn("mix_source", F.lit(i)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def winnowing_fingerprints(
     df,
     text_col: str = "text",

@@ -1364,6 +1364,64 @@ def leakage_free_split(spark, sf):
     return straddling.crossJoin(has_val)
 
 
+REPETITION_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(w) >= 2
+             THEN list_transform(range(1, len(w) - 2 + 2),
+                                 i -> array_to_string(w[i:i+1], ' '))
+             ELSE [array_to_string(w, ' ')] END AS grams
+      FROM t)
+SELECT doc_id,
+       CASE WHEN len(grams) > 0
+            THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+            ELSE 0.0 END AS dup_ngram_frac,
+       CASE WHEN len(grams) > 0
+            THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+            ELSE 0.0 END > 0.2 AS repetitive
+FROM g
+"""
+
+
+@q("intra_doc_repetition", REPETITION_SQL)
+def intra_doc_repetition_q(spark, sf):
+    """Gopher-style WITHIN-document repetition gate (P18): fraction of
+    repeated word 2-grams per doc, scan-side array expressions only —
+    boilerplate and degenerate text score high and get gated before
+    training."""
+    scored = TX.intra_doc_repetition(load(spark, sf, "documents"), n=2)
+    return scored.select(
+        "doc_id",
+        "dup_ngram_frac",
+        (F.col("dup_ngram_frac") > 0.2).alias("repetitive"),
+    )
+
+
+MIX_THR = format(int(0.3 * 16**8), "08x")
+
+MIX_SQL = f"""
+SELECT doc_id, 0 AS mix_source FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, 1 AS mix_source FROM documents
+WHERE lang <> 'en'
+  AND substring(md5(CAST(doc_id AS VARCHAR) || '#9'), 1, 8) < '{MIX_THR}'
+"""
+
+
+@q("mix_corpora", MIX_SQL)
+def mix_corpora_q(spark, sf):
+    """Weighted deterministic corpus mixing (P19): keep all of the
+    'en' corpus, down-sample the rest to 30% by seeded md5 threshold,
+    tag with mix_source — scan-side filters + union, zero shuffles
+    (the declared-ratio mixing pass of training-corpus assembly)."""
+    docs = load(spark, sf, "documents")
+    en = docs.filter(F.col("lang") == "en")
+    rest = docs.filter(F.col("lang") != "en")
+    return TX.mix_corpora([en, rest], [1.0, 0.3], seed=9).select(
+        "doc_id", "mix_source"
+    )
+
+
 SHUFFLE_SQL = """
 WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#0') AS hx FROM documents),
 s AS (SELECT doc_id, hx,

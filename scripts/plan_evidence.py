@@ -79,6 +79,9 @@ CHECKS = [
     # over ONE hash exchange — never a global single-partition sort
     ("shuffle_shards", ["Window"], ["SinglePartition"]),
     ("sample_stratified", ["Window"], ["SinglePartition"]),
+    # repetition gate + corpus mixing are scan-side: zero exchanges
+    ("intra_doc_repetition", [], ["Exchange"]),
+    ("mix_corpora", [], ["Exchange"]),
 ]
 
 
