@@ -640,9 +640,25 @@ class CdcEngine:
         snap = self.table.snapshot()
         fields = [dict(f) for f in snap["schemas"][str(snap["schema_ver"])]]
         if kind == "ADD_COLUMN":
+            if any(f["name"] == payload["name"] for f in fields):
+                raise ValueError(f"ADD_COLUMN: column {payload['name']!r} already exists")
             nid = max(f["id"] for f in fields) + 1
             fields.append({"id": nid, "name": payload["name"], "type": payload["type"]})
         elif kind == "RENAME_COLUMN":
+            # the key column's name is load-bearing everywhere (bucket
+            # routing, merge alignment, manifest bounds, key-range
+            # reads): renaming it would silently desynchronize all of
+            # them — reject, like Iceberg rejects dropping a partition
+            # source column
+            if payload["from"] == snap["key_col"]:
+                raise ValueError(
+                    f"RENAME_COLUMN: {payload['from']!r} is the table key "
+                    "column and cannot be renamed"
+                )
+            if any(f["name"] == payload["to"] for f in fields):
+                raise ValueError(
+                    f"RENAME_COLUMN: target name {payload['to']!r} already exists"
+                )
             _field(fields, payload["from"])["name"] = payload["to"]
         elif kind == "WIDEN_TYPE":
             fld = _field(fields, payload["name"])

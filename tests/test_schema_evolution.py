@@ -68,3 +68,24 @@ def test_time_travel_reads_old_snapshot(spark, changelog_dir, tmp_path):
     eng.run_to_completion()
     assert table.current_epoch() > e1
     assert table.read(spark, epoch=e1).count() == n1
+
+
+def test_ddl_rejects_key_rename_and_name_collisions(spark, changelog_dir, tmp_path):
+    """The key column's name is load-bearing (bucket routing, merge
+    alignment, manifest bounds): renaming it, or creating a duplicate
+    column name, must be rejected as invalid DDL."""
+    import pytest
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    eng = CdcEngine(spark, changelog_dir, table, lsn_budget=10**9)
+    with pytest.raises(ValueError, match="key column"):
+        eng.apply_schema_update("RENAME_COLUMN", {"from": "doc_id", "to": "id"})
+    with pytest.raises(ValueError, match="already exists"):
+        eng.apply_schema_update("RENAME_COLUMN", {"from": "source", "to": "n_tok"})
+    with pytest.raises(ValueError, match="already exists"):
+        eng.apply_schema_update("ADD_COLUMN", {"name": "tokens", "type": "string"})
+    # no epoch was committed by any rejected DDL
+    assert table.current_epoch() == 0
