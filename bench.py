@@ -252,9 +252,12 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     warmup(spark)
+    # floor 6 for the flagship: the same-session r2/r4 control pair
+    # showed the tiered-JIT plateau lands around run 4-5 in a fresh
+    # JVM — a floor of 4 can stop on a local plateau two runs early
     runs = run_until_converged(
         lambda: run_cdc_replay(spark, N_EVENTS, N_EPOCHS, f"{WORK_ROOT}/bench_table"),
-        min_runs=N_RUNS,
+        min_runs=max(N_RUNS, 6),
         max_runs=N_RUNS_MAX,
         wall_of=lambda r: r["wall_sec"],
     )
