@@ -76,6 +76,7 @@ _SAMPLE_FIRST = [
     "sample_stratified",
     "intra_doc_repetition",
     "mix_corpora",
+    "dedup_cluster_assign",
     "refine_corpus",
     "approx_distinct_keys",
     "schema_evolution_replay",

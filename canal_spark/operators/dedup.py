@@ -359,3 +359,89 @@ def char_ngram_jaccard_pairs(
     sig = minhash_signatures(base, id_col=id_col, num_perm=num_perm)
     pairs = lsh_candidate_pairs(sig, id_col=id_col, bands=bands)
     return jaccard_verify(pairs, base, id_col=id_col, min_jaccard=min_jaccard)
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) — transitive near-duplicate CLUSTERS from the
+    pairwise detector output: cluster_id = min id reachable through
+    the pair graph (every node not in any pair is its own cluster).
+    Pairwise drop rules under-deduplicate (A~B, B~C but A!~C keeps
+    both A and C unless the chain collapses); corpus dedup at scale
+    keeps ONE canonical doc per connected component.
+
+    Algorithm: min-label propagation — each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds. Near-dup components are small and
+    shallow by construction (they are near-copies of one document), so
+    the round count is tiny and each round is one shuffle of the EDGE
+    relation (candidate pairs only — a vanishing fraction of the
+    corpus; the corpus-sized `nodes` frame joins in once at the end).
+    The loop's only driver-side action is the per-round convergence
+    check on the (small) label frame.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node2"))
+                .agg(F.min("lbl").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neigh, labels.node == neigh.node2, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                    ).alias("lbl"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} rounds "
+                "(component diameter exceeds the bound — raise max_iter)"
+            )
+        out = (
+            nodes.select(F.col(id_col))
+            .join(labels, nodes[id_col] == labels.node, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("lbl"), F.col(id_col)).alias("cluster_id"),
+            )
+        )
+        # materialization note: the caller consumes `out` lazily, but its
+        # plan references only the FINAL label frame, which stays
+        # persisted; edges are no longer needed once labels converged
+        return out
+    finally:
+        edges.unpersist()

@@ -709,6 +709,52 @@ def dedup_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.8)
 
 
+CLUSTER_SQL = """
+WITH RECURSIVE all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id < 10),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 3 + 2),
+                             i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs)),
+p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+e AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+r AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM all_docs
+  UNION
+  SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node
+)
+SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM r GROUP BY node
+"""
+
+
+@q("dedup_cluster_assign", CLUSTER_SQL)
+def dedup_cluster_assign(spark, sf):
+    """Transitive near-dup CLUSTERING (P20): pairwise detector output
+    -> connected components by min-label propagation (iterative Spark
+    joins, O(component diameter) rounds) -> one cluster id per doc;
+    singletons label themselves. Pairwise drop rules under-dedup
+    chains (A~B~C keeps A and C); corpus dedup keeps one canonical doc
+    per component. The component stage is exact-Jaccard-defined (like
+    refine_corpus' drop stage), so the oracle replays it as a
+    recursive min-reachability CTE over the all-pairs graph."""
+    docs = _with_planted_dupes(load(spark, sf, "documents")).select("doc_id", "text")
+    sh = DD.word_shingles(docs)
+    sig = DD.minhash_signatures(sh, num_perm=16)
+    pairs = DD.jaccard_verify(
+        DD.lsh_candidate_pairs(sig, bands=8), sh, min_jaccard=0.8
+    )
+    return DD.connected_components(pairs, docs.select("doc_id"))
+
+
 RECALL_ORACLE = (
     "SELECT CAST(10 AS BIGINT) AS n_planted, CAST(10 AS BIGINT) AS n_found, "
     "TRUE AS all_found"

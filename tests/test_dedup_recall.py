@@ -171,3 +171,23 @@ def test_winnowing_density_bound(spark):
         .first()[0]
     )
     assert n_fp < 0.7 * n_grams
+
+
+def test_connected_components_collapses_chains(spark):
+    """A~B, B~C (but never A~C directly) must land in ONE cluster —
+    the under-dedup case pairwise drop rules miss; isolated docs label
+    themselves; disjoint pairs stay separate clusters."""
+    from canal_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    nodes = spark.range(1, 11).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[7] == got[9] == 7
+    for i in (4, 5, 6, 8, 10):
+        assert got[i] == i
