@@ -201,6 +201,25 @@ class SnapshotTable:
         snap = self.snapshot(epoch)
         current = snap["schemas"][str(snap["schema_ver"])]
         lo, hi = key_range if key_range is not None else (None, None)
+        if lo is not None and lo == hi and buckets is None:
+            # POINT lookup: the key determines its bucket — prune to it
+            # before any file-bounds check. Hash bucketing scatters
+            # every key range across all buckets, so bounds alone
+            # cannot exclude other buckets' files; the bucket function
+            # can (1/n_buckets of the table, before bounds shrink it
+            # further). One row-local Spark job evaluates the same
+            # xxhash64 expression the writers use — never a table scan.
+            key_type = next(
+                f["type"] for f in current if f["name"] == snap["key_col"]
+            )
+            buckets = [
+                spark.range(1)
+                .select(
+                    F.lit(lo).cast(key_type).alias(snap["key_col"])
+                )
+                .select(bucket_expr(snap["key_col"], snap["n_buckets"]))
+                .first()[0]
+            ]
         plain_groups: dict[int, list[str]] = {}
         frag_groups: dict[int, list[str]] = {}
         for b, files in snap["files"].items():

@@ -291,3 +291,22 @@ def test_pipelined_replay_survives_lost_commit_race(
     assert_state_equals_oracle(table.read(spark), oracle_state)
     # checkpoints cover the whole log: nothing was skipped
     assert eng.run_epoch() is None
+
+
+def test_point_lookup_prunes_to_key_bucket(spark, tmp_path):
+    """Hash bucketing scatters every key range across all buckets, so
+    manifest bounds alone cannot exclude other buckets' files for a
+    point key — the bucket function can: a point lookup must open only
+    files of the key's own bucket."""
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    _commit_base(spark, table, keys("a", 200))
+    target = "a0042"
+    df = table.read(spark, key_range=(target, target))
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == target
+    b = rows[0]["bucket"]
+    opened = df.inputFiles()
+    assert len(opened) == 1 and f"bucket={b}/" in opened[0]
+    # range lookups (lo != hi) still scan all overlapping buckets
+    rng = table.read(spark, key_range=("a0000", "a0099"))
+    assert rng.count() == 100
