@@ -87,6 +87,32 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_lookup(args) -> int:
+    """Point lookup by key — the operational 'what is this row now':
+    bucket derived from the key, files pruned by manifest bounds, so
+    the answer costs O(matching files), never a table scan."""
+    from canal_spark.plans.table import SnapshotTable
+
+    spark = _spark(args.master, args.cpus)
+    table = SnapshotTable(args.table)
+    df = table.read(
+        spark, epoch=args.epoch, key_range=(args.key, args.key), with_bucket=False
+    )
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    print(
+        json.dumps(
+            {
+                "key": args.key,
+                "epoch": args.epoch if args.epoch is not None else table.current_epoch(),
+                "rows": rows,
+                "files_opened": len(df.inputFiles()),
+            },
+            default=str,
+        )
+    )
+    return 0
+
+
 def cmd_maintain(args) -> int:
     from canal_spark.plans.table import SnapshotTable
 
@@ -158,6 +184,15 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="print table position/meta as JSON")
     st.add_argument("--table", required=True)
     st.set_defaults(fn=cmd_status)
+
+    lk = sub.add_parser(
+        "lookup", help="point lookup by key (bucket + manifest-bounds pruned)"
+    )
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--key", required=True)
+    lk.add_argument("--epoch", type=int, default=None,
+                    help="time-travel to a retained snapshot (default: current)")
+    lk.set_defaults(fn=cmd_lookup)
 
     mt = sub.add_parser("maintain", help="snapshot/tombstone/orphan maintenance")
     mt.add_argument("--table", required=True)

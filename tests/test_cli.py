@@ -94,3 +94,22 @@ def test_cli_compact_files_rejects_nonpositive_target(tmp_path):
     )
     assert out.returncode == 2
     assert "must be positive" in out.stderr
+
+
+def test_cli_lookup_point_key(changelog_dir, tmp_path):
+    table = str(tmp_path / "t")
+    out = _run("replay", "--changelog", changelog_dir, "--table", table,
+               "--buckets", "8", "--lsn-budget", "1000000")
+    assert out["rows"] > 0
+    # pick a known-live key via a tiny status-free probe: replay output
+    # has no keys, so look one up from the table directly
+    import pyarrow.parquet as pq
+    import glob as _glob
+    f = sorted(_glob.glob(f"{table}/data/epoch=*/bucket=*/*.parquet"))[0]
+    key = pq.read_table(f, columns=["doc_id"]).column(0)[0].as_py()
+    res = _run("lookup", "--table", table, "--key", key)
+    assert res["key"] == key and len(res["rows"]) == 1
+    assert res["rows"][0]["doc_id"] == key
+    assert res["files_opened"] >= 1
+    miss = _run("lookup", "--table", table, "--key", "no-such-doc")
+    assert miss["rows"] == []
