@@ -178,7 +178,13 @@ class SnapshotTable:
         Iceberg `lower_bounds`/`upper_bounds` analog) cannot overlap
         the range — a point/range lookup opens O(matching files), not
         O(bucket). Files committed without bounds are conservatively
-        read and filtered row-wise.
+        read and filtered row-wise (the residual predicate reaches the
+        parquet scan — `PushedFilters: [GreaterThanOrEqual(key,lo),
+        LessThanOrEqual(key,hi)]`, verified, including through the
+        resolution Window — so kept files still skip row groups via
+        their own statistics). A POINT lookup (lo == hi) additionally
+        derives the key's bucket from the bucket function itself and
+        prunes to it before any bounds check.
 
         Default reads hide merge metadata and filter tombstones;
         internal=True (the MERGE path) exposes `_seq`/`_tombstone` and
