@@ -70,10 +70,20 @@ def bucket_expr(key_col: str, n_buckets: int):
 
 
 class SnapshotTable:
+    #: materialize a full file map at least every K snapshots — bounds
+    #: the delta-chain length a cold `snapshot()` resolves (Iceberg
+    #: manifest reuse has the same shape: unchanged manifests are
+    #: referenced, not rewritten, with periodic rewrites bounding reads)
+    MATERIALIZE_EVERY = 16
+
     def __init__(self, root: str):
         self.root = root
         self.meta_dir = os.path.join(root, "meta")
         self.data_dir = os.path.join(root, "data")
+        # materialized-snapshot memo: snapshots are immutable once
+        # published (expire_snapshots, the one rewriter, invalidates),
+        # so resolving a delta chain once per process is enough
+        self._snap_cache: dict[int, dict] = {}
 
     # ------------------------------------------------------------ init
     @classmethod
@@ -152,11 +162,32 @@ class SnapshotTable:
         return max(epochs) if epochs else None
 
     def snapshot(self, epoch: int | None = None) -> dict:
+        """The MATERIALIZED snapshot for an epoch: delta-form manifests
+        (`files_delta`/`files_removed` over `files_base`, see commit)
+        are resolved against their base chain — bounded by
+        MATERIALIZE_EVERY — and memoized, so every caller sees a plain
+        `files` map regardless of the on-disk form. Returns a private
+        copy (callers mutate freely)."""
+        import copy
+
         epoch = self.current_epoch() if epoch is None else epoch
         if epoch is None:
             raise FileNotFoundError(f"no snapshots under {self.meta_dir}")
-        with open(self._snap_path(epoch)) as f:
-            return json.load(f)
+        cached = self._snap_cache.get(epoch)
+        if cached is None:
+            with open(self._snap_path(epoch)) as f:
+                raw = json.load(f)
+            if "files" not in raw:
+                base = self.snapshot(raw["files_base"])
+                files = base["files"]
+                for b in raw.get("files_removed", []):
+                    files.pop(str(b), None)
+                files.update(raw["files_delta"])
+                raw["files"] = files
+                for k in ("files_delta", "files_removed", "files_base"):
+                    raw.pop(k, None)
+            cached = self._snap_cache[epoch] = raw
+        return copy.deepcopy(cached)
 
     # ------------------------------------------------------------ read
     def read(
@@ -593,13 +624,41 @@ class SnapshotTable:
             ),
             "meta": {**snap.get("meta", {}), **(meta or {})},
         }
+        # Metadata written per epoch must be O(touched buckets), not
+        # O(table): at 10^5 buckets a materialized file map is tens of
+        # MB and writing one per epoch makes METADATA the write
+        # amplification. Unchanged buckets' lists are carried forward
+        # BY REFERENCE on disk (`files_delta` over `files_base`, the
+        # Iceberg manifest-reuse analog); a full map is still
+        # materialized every MATERIALIZE_EVERY snapshots — or whenever
+        # the delta stops being small — to bound the chain a cold
+        # reader resolves. snapshot() materializes transparently, so
+        # no reader sees the delta form.
+        chain = int(snap.get("files_chain", 0))
+        to_disk = dict(new_snap)
+        delta_map = {b: v for b, v in files.items() if snap["files"].get(b) != v}
+        removed = [b for b in snap["files"] if b not in files]
+        if (
+            not replace_all
+            and n_buckets_update is None
+            and chain + 1 < self.MATERIALIZE_EVERY
+            and (len(delta_map) + len(removed)) * 2 < max(1, len(files))
+        ):
+            del to_disk["files"]
+            to_disk["files_delta"] = delta_map
+            to_disk["files_removed"] = removed
+            to_disk["files_base"] = cur
+            new_snap["files_chain"] = to_disk["files_chain"] = chain + 1
+        else:
+            new_snap["files_chain"] = to_disk["files_chain"] = 0
         try:
-            self._write_snapshot(new_snap)
+            self._write_snapshot(to_disk)
         except FileExistsError:
             # lost a commit race for this epoch number after the
             # fast-path existence check — same outcome as the fast
             # path: not committed by us
             return False
+        self._snap_cache[epoch] = new_snap
         return True
 
     def read_pending(self, spark: SparkSession) -> DataFrame | None:
@@ -729,9 +788,14 @@ class SnapshotTable:
         oldest_kept = next(
             (e for e in range(keep_from, cur + 1) if os.path.exists(self._snap_path(e)))
         )
+        # snapshot() materializes any delta chain THROUGH the epochs
+        # being expired (they still exist here), so the rewrite below
+        # is always self-contained: the oldest retained snapshot never
+        # references an expired files_base
         snap = self.snapshot(oldest_kept)
         snap["lineage_archive"] = snap.get("lineage_archive", []) + archived
         snap["parent"] = None
+        snap["files_chain"] = 0
         # rewrite-then-delete: a crash in between leaves extra (stale)
         # old snapshots, never a missing current one
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -740,8 +804,10 @@ class SnapshotTable:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, self._snap_path(oldest_kept))
+        self._snap_cache.pop(oldest_kept, None)  # rewritten in place
         for e in expired:
             os.remove(self._snap_path(e))
+            self._snap_cache.pop(e, None)
         return expired
 
     def compact_tombstones(
@@ -1051,10 +1117,13 @@ class SnapshotTable:
         cutoff = _time.time() - min_age_seconds
         referenced: set[str] = set()
         for fn in os.listdir(self.meta_dir):
-            if not _SNAP_RE.match(fn):
+            m = _SNAP_RE.match(fn)
+            if not m:
                 continue
-            with open(os.path.join(self.meta_dir, fn)) as f:
-                s = json.load(f)
+            # snapshot() — NOT a raw json read: a delta-form manifest
+            # references most of its files through its base chain, and
+            # missing those references would delete live data
+            s = self.snapshot(int(m.group(1)))
             for flist in s["files"].values():
                 referenced.update(fe["path"] for fe in flist)
             referenced.update(s.get("pending", []))

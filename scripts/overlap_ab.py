@@ -77,8 +77,10 @@ def main() -> None:
         for fe in fes:
             for k in ("key_min", "key_max", "seq_min", "seq_max"):
                 fe.pop(k, None)
+    snap["files_chain"] = 0  # materialized rewrite
     with open(table._snap_path(snap["epoch"]), "w") as f:
         json.dump(snap, f)
+    table._snap_cache.clear()  # the rewrite bypassed the memo
     plan2 = table.read(spark)._jdf.queryExecution().executedPlan().toString()
     stripped = {"walls": timed_scan(spark, table), "window_in_plan": "Window" in plan2}
     rows_b = table.read(spark).count()
