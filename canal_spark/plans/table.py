@@ -5,14 +5,24 @@ SURVEY.md §0.4), so the table layer reimplements the *properties* the
 north rule exercises, from scratch, over plain Parquet + JSON manifests:
 
 - **snapshot isolation / time travel**: every commit epoch `e` writes an
-  immutable `meta/snapshot-<e>.json` listing the exact data files of the
-  table state after epoch `e`; readers resolve one snapshot and never see
-  partial writes.
-- **atomic, idempotent commits**: manifest written via temp-file +
-  `os.rename` (atomic on POSIX). Re-committing an epoch whose snapshot
-  already exists is a no-op — the exactly-once heart (canal analog:
-  ack/cursor protocol [C: meta/.../FileMixedMetaManager.java ::
-  #updateCursor; server/.../CanalServerWithEmbedded.java :: #ack]).
+  immutable `meta/snapshot-<e>.json` determining the exact data files of
+  the table state after epoch `e`; readers resolve one snapshot and never
+  see partial writes. On disk a snapshot stores only the TOUCHED buckets'
+  file lists as a delta over its base (Iceberg manifest reuse — metadata
+  per epoch is O(touched), not O(table)); `snapshot()` materializes
+  chains transparently, bounded by MATERIALIZE_EVERY.
+- **atomic, idempotent, EXCLUSIVE commits**: manifest published via
+  temp-file + `os.link` (atomic on POSIX, fails on exists). Re-committing
+  an epoch whose snapshot already exists is a no-op — the exactly-once
+  heart (canal analog: ack/cursor protocol
+  [C: meta/.../FileMixedMetaManager.java :: #updateCursor;
+  server/.../CanalServerWithEmbedded.java :: #ack]) — and a concurrent
+  writer racing for the same epoch number loses cleanly and replans
+  (optimistic concurrency; see compact_files and the engine's
+  lost-race replan).
+- **per-file column bounds + file skipping**: commits record each data
+  file's key/_seq min-max from the parquet footer; point/range reads and
+  merge-on-read resolution open only files that can matter.
 - **per-partition offset checkpoints + lineage IN the commit**: the
   snapshot carries `checkpoints{source_partition -> committed_lsn}` and
   per-epoch lineage metrics, so data + cursor commit atomically —
