@@ -95,14 +95,34 @@ def cmd_lookup(args) -> int:
 
     spark = _spark(args.master, args.cpus)
     table = SnapshotTable(args.table)
+    # the CLI hands us a string; a numeric key column compares
+    # unorderably against parquet-footer bounds and coerces the Spark
+    # residual filter to double (precision loss past 2^53) — cast to
+    # the snapshot's declared key type first
+    snap = table.snapshot(args.epoch)
+    key_type = next(
+        f["type"]
+        for f in snap["schemas"][str(snap["schema_ver"])]
+        if f["name"] == snap["key_col"]
+    )
+    casts = {"int": int, "bigint": int, "long": int, "float": float, "double": float}
+    try:
+        key = casts.get(key_type, str)(args.key)
+    except ValueError:
+        print(
+            f"--key: {args.key!r} is not a valid {key_type} "
+            f"(key column {snap['key_col']!r})",
+            file=sys.stderr,
+        )
+        return 2
     df = table.read(
-        spark, epoch=args.epoch, key_range=(args.key, args.key), with_bucket=False
+        spark, epoch=args.epoch, key_range=(key, key), with_bucket=False
     )
     rows = [r.asDict(recursive=True) for r in df.collect()]
     print(
         json.dumps(
             {
-                "key": args.key,
+                "key": key,
                 "epoch": args.epoch if args.epoch is not None else table.current_epoch(),
                 "rows": rows,
                 "files_opened": len(df.inputFiles()),

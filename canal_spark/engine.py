@@ -636,7 +636,24 @@ class CdcEngine:
 
         kinds: ADD_COLUMN {name,type} | RENAME_COLUMN {from,to} |
                WIDEN_TYPE {name,to}  (SURVEY.md §2 X3 / FIXTURES.md A3)
+
+        Optimistic like every other commit path: a concurrent
+        maintenance commit can steal the epoch number, in which case
+        commit() returns False and the update is recomputed on the
+        fresh snapshot and retried — silently dropping a DDL is the
+        one failure a schema log cannot absorb.
         """
+        for _attempt in range(5):
+            epoch = self._try_schema_update(kind, payload, meta)
+            if epoch is not None:
+                return epoch
+        raise RuntimeError(
+            f"apply_schema_update({kind}): lost the commit race 5 times"
+        )
+
+    def _try_schema_update(
+        self, kind: str, payload: dict, meta: dict | None
+    ) -> int | None:
         snap = self.table.snapshot()
         fields = [dict(f) for f in snap["schemas"][str(snap["schema_ver"])]]
         if kind == "ADD_COLUMN":
@@ -661,13 +678,25 @@ class CdcEngine:
                 )
             _field(fields, payload["from"])["name"] = payload["to"]
         elif kind == "WIDEN_TYPE":
+            # widening the key column changes xxhash64's input type
+            # (hashInt vs hashLong code paths), so bucket_expr would
+            # route the same key VALUE to a different bucket post-DDL:
+            # updates land in new buckets, LWW never pairs them with
+            # the old rows, stale duplicates survive. Same
+            # load-bearing-key hazard as RENAME above — reject.
+            if payload["name"] == snap["key_col"]:
+                raise ValueError(
+                    f"WIDEN_TYPE: {payload['name']!r} is the table key "
+                    "column; widening it changes hash bucket routing "
+                    "and cannot be applied"
+                )
             fld = _field(fields, payload["name"])
             _check_widening(fld["type"], payload["to"])
             fld["type"] = payload["to"]
         else:
             raise ValueError(f"unknown DDL kind: {kind}")
         epoch = (self.table.current_epoch() or 0) + 1
-        self.table.commit(
+        committed = self.table.commit(
             epoch,
             rewritten={},
             checkpoints={},
@@ -675,7 +704,7 @@ class CdcEngine:
             schema_update={"ver": snap["schema_ver"] + 1, "fields": fields},
             meta=meta,
         )
-        return epoch
+        return epoch if committed else None
 
 
 _WIDENINGS = {

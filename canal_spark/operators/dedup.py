@@ -431,17 +431,22 @@ def connected_components(
                 f"connected_components: no convergence in {max_iter} rounds "
                 "(component diameter exceeds the bound — raise max_iter)"
             )
-        out = (
+        # truncate the result plan's lineage at the converged labels so
+        # BOTH caches can be released before returning — otherwise each
+        # invocation leaks one permanently-persisted frame into a
+        # long-lived SparkSession (the caller never sees `labels` to
+        # unpersist it). localCheckpoint keeps the (edge-sized, small)
+        # label partitions on executors; recompute-on-executor-loss is
+        # an acceptable trade for a frame this small.
+        final_labels = labels.localCheckpoint(eager=True)
+        return (
             nodes.select(F.col(id_col))
-            .join(labels, nodes[id_col] == labels.node, "left")
+            .join(final_labels, nodes[id_col] == final_labels.node, "left")
             .select(
                 F.col(id_col),
                 F.coalesce(F.col("lbl"), F.col(id_col)).alias("cluster_id"),
             )
         )
-        # materialization note: the caller consumes `out` lazily, but its
-        # plan references only the FINAL label frame, which stays
-        # persisted; edges are no longer needed once labels converged
-        return out
     finally:
+        labels.unpersist()
         edges.unpersist()

@@ -517,13 +517,20 @@ class SnapshotTable:
     @staticmethod
     def _entry_in_range(fe: dict, lo, hi) -> bool:
         """Can file entry `fe` contain a key in [lo, hi]? Absent bounds
-        => conservatively yes."""
+        => conservatively yes. A query bound whose type is unorderable
+        against the stored footer bounds (e.g. a str key against an
+        int key column) also answers yes — pruning is an optimization
+        and must never raise; the Spark-side residual filter (which
+        the caller builds from the properly cast column) decides."""
         if "key_min" not in fe:
             return True
-        if lo is not None and fe["key_max"] < lo:
-            return False
-        if hi is not None and fe["key_min"] > hi:
-            return False
+        try:
+            if lo is not None and fe["key_max"] < lo:
+                return False
+            if hi is not None and fe["key_min"] > hi:
+                return False
+        except TypeError:
+            return True
         return True
 
     @staticmethod

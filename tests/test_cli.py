@@ -113,3 +113,40 @@ def test_cli_lookup_point_key(changelog_dir, tmp_path):
     assert res["files_opened"] >= 1
     miss = _run("lookup", "--table", table, "--key", "no-such-doc")
     assert miss["rows"] == []
+
+
+def test_cli_lookup_numeric_key_column(spark, tmp_path):
+    """On a table whose key column is numeric, the CLI must cast the
+    raw --key string to the key type before pruning (str-vs-int footer
+    bounds are unorderable) and before the residual filter (bigint vs
+    string coerces to double with precision loss past 2^53)."""
+    from canal_spark.operators.merge import merge_epoch
+    from canal_spark.plans.table import SnapshotTable
+
+    schema = [
+        {"id": 1, "name": "uid", "type": "bigint"},
+        {"id": 2, "name": "tokens", "type": "array<int>"},
+    ]
+    table = SnapshotTable.create(
+        str(tmp_path / "t"), n_buckets=4, schema=schema, key_col="uid"
+    )
+    # a key past 2^53 catches any double coercion in the residual filter
+    big = (1 << 60) + 7
+    delta = spark.createDataFrame(
+        [(big + i, [i], "INSERT", i) for i in range(50)],
+        "uid long, tokens array<int>, op string, _seq long",
+    )
+    files = merge_epoch(spark, table, delta, 1)
+    table.commit(1, files, {}, [])
+
+    res = _run("lookup", "--table", str(tmp_path / "t"), "--key", str(big + 3))
+    assert res["key"] == big + 3
+    assert len(res["rows"]) == 1 and res["rows"][0]["uid"] == big + 3
+    # a non-numeric key string is a usage error, not a traceback
+    out = subprocess.run(
+        [sys.executable, "-m", "canal_spark", "lookup",
+         "--table", str(tmp_path / "t"), "--key", "not-a-number"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+        env={**os.environ, "CANAL_SPARK_MASTER": "local[4]"},
+    )
+    assert out.returncode == 2 and "not a valid bigint" in out.stderr

@@ -191,3 +191,32 @@ def test_connected_components_collapses_chains(spark):
     assert got[7] == got[9] == 7
     for i in (4, 5, 6, 8, 10):
         assert got[i] == i
+
+
+def test_connected_components_releases_all_caches(spark, monkeypatch):
+    """Every frame the algorithm persists must be unpersisted by the
+    time it returns (the result plan is lineage-truncated at the
+    converged labels via localCheckpoint) — a long-lived session
+    running dedup per corpus batch would otherwise accumulate one
+    leaked cache per call."""
+    from canal_spark.operators.dedup import connected_components
+
+    persisted = []
+    # patch the CONCRETE class (pyspark 4 sessions hand back
+    # pyspark.sql.classic.dataframe.DataFrame, which overrides
+    # persist — patching the abstract base would miss every call)
+    cls = type(spark.range(1))
+    real_persist = cls.persist
+
+    def tracking_persist(self, *a, **kw):
+        persisted.append(self)
+        return real_persist(self, *a, **kw)
+
+    monkeypatch.setattr(cls, "persist", tracking_persist)
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    nodes = spark.range(1, 6).select(F.col("id").alias("doc_id"))
+    out = connected_components(pairs, nodes)
+    assert out.count() == 5  # the result survives the cache release
+    assert persisted, "sanity: the algorithm does persist intermediates"
+    still_cached = [df for df in persisted if df.is_cached]
+    assert not still_cached, f"{len(still_cached)} frame(s) left persisted"

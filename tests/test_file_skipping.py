@@ -138,6 +138,16 @@ def test_resolution_set_conflict_components():
     ) == [False, False]
 
 
+def test_entry_in_range_tolerates_type_mismatch():
+    """A query bound unorderable against the stored footer bounds must
+    answer 'maybe' (keep the file), never raise — pruning is an
+    optimization; the Spark residual filter decides."""
+    fe = {"path": "x", "key_min": 100, "key_max": 200}
+    assert SnapshotTable._entry_in_range(fe, "100", "100") is True
+    assert SnapshotTable._entry_in_range(fe, 201, 300) is False
+    assert SnapshotTable._entry_in_range(fe, 150, None) is True
+
+
 # -------------------------------------------------- read_changes pruning
 
 

@@ -87,5 +87,43 @@ def test_ddl_rejects_key_rename_and_name_collisions(spark, changelog_dir, tmp_pa
         eng.apply_schema_update("RENAME_COLUMN", {"from": "source", "to": "n_tok"})
     with pytest.raises(ValueError, match="already exists"):
         eng.apply_schema_update("ADD_COLUMN", {"name": "tokens", "type": "string"})
+    # widening the key column changes xxhash64 bucket routing (hashInt
+    # vs hashLong): same load-bearing-key hazard as RENAME — rejected
+    with pytest.raises(ValueError, match="key column"):
+        eng.apply_schema_update("WIDEN_TYPE", {"name": "doc_id", "to": "bigint"})
     # no epoch was committed by any rejected DDL
     assert table.current_epoch() == 0
+
+
+def test_ddl_retries_after_lost_commit_race(spark, changelog_dir, tmp_path):
+    """A concurrent maintenance commit can steal the epoch number out
+    from under a DDL commit; apply_schema_update must detect the lost
+    race and re-apply on the fresh snapshot rather than silently
+    dropping the schema change."""
+    table, eng = _engine(spark, changelog_dir, tmp_path)
+    eng.run_epoch()
+    base_epoch = table.current_epoch()
+
+    # simulate the race: the first commit attempt loses (a maintenance
+    # run published this epoch number first), subsequent attempts win
+    real_commit = table.commit
+    calls = {"n": 0}
+
+    def racing_commit(epoch, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the concurrent winner publishes a no-op epoch under the
+            # number the DDL wanted, exactly like compact_files would
+            real_commit(epoch, rewritten={}, checkpoints={}, lineage=[])
+        return real_commit(epoch if calls["n"] > 1 else epoch, **kw)
+
+    table.commit = racing_commit
+    try:
+        e = eng.apply_schema_update("ADD_COLUMN", {"name": "lang", "type": "string"})
+    finally:
+        table.commit = real_commit
+    assert calls["n"] >= 2  # first attempt lost, retried
+    assert e == table.current_epoch() == base_epoch + 2
+    snap = table.snapshot()
+    names = [f["name"] for f in snap["schemas"][str(snap["schema_ver"])]]
+    assert "lang" in names  # the DDL landed despite the lost race
