@@ -37,50 +37,50 @@ def entry(spark: SparkSession) -> DataFrame:
     ).select("key", "last_lsn", "last_value", "c_name", "c_mktsegment")
 
 
-#: round-4 rotation (pure reordering, VERDICT r3 task 6): lead with the
-#: 24 names the r3 driver sample skipped (the long-green r1/r2 tail),
-#: then the r4 additions/conversions (new or changed contracts —
-#: decontaminate_corpus is new; refine_corpus grew a near-dup stage;
-#: four rows-only queries converted to boolean/VALUES oracles), then
-#: the rest.
+#: round-5 rotation (pure reordering, VERDICT r4 task 4): lead with the
+#: 31 names the r4 driver sample skipped (the join/window/agg/recall
+#: block), then the r5 additions/conversions (multi_table_replay is
+#: new; the dedup pair sets and ann_lsh_topk gained invariant
+#: oracles), then the rest.
 _SAMPLE_FIRST = [
-    # unsampled in CORRECTNESS_r03
-    "union_multi_source",
-    "state_diff_except",
-    "cast_types_roundtrip",
-    "ddl_classify",
-    "tokens_invariant_ntok",
-    "pandas_udf_token_transform",
-    "client_cursor_state",
-    "xa_rollback_replay",
-    "exactly_once_reapply_noop",
-    "dedup_exact",
+    # unsampled in CORRECTNESS_r04
+    "join_enrich_left",
+    "join_enrich_broadcast",
+    "window_lag_before_image",
+    "txn_group_complete",
+    "epoch_size_accounting",
+    "metrics_per_partition",
+    "pk_hash_partition",
+    "topk_hot_keys",
+    "hot_key_histogram",
+    "distinct_keys_exact",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "dedup_ngram_recall",
+    "ann_ivf_recall",
+    "mor_replay_modes_agree",
+    "incremental_changes_consistent",
+    "pii_scrub",
+    "vocab_top_terms",
+    "contamination_overlap",
+    "train_val_split",
+    "leakage_free_split",
+    "flatmessage_roundtrip",
+    "asof_join_nullable_values",
+    "asof_join_last_click",
+    "range_join_ship_window",
+    "rollup_event_counts",
+    "running_frame_totals",
+    "ann_ivf_topk",
+    "state_diff_intersect",
+    "session_window_counts",
+    "windowed_event_counts",
+    # new or contract-changed in r5
+    "multi_table_replay",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "ann_cosine_topk",
     "ann_lsh_topk",
-    "embedding_neardup_cosine",
-    "pack_sequences",
-    "winnowing_fingerprints",
-    "lang_id_heuristic",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "multimodal_frame_sample",
-    "multimodal_decode_stub",
-    # new or contract-changed in r4
-    "decontaminate_corpus",
-    "point_lookup_file_skipping",
-    "shuffle_shards",
-    "sample_stratified",
-    "intra_doc_repetition",
-    "mix_corpora",
-    "dedup_cluster_assign",
-    "refine_corpus",
-    "approx_distinct_keys",
-    "schema_evolution_replay",
-    "stateful_stream_gate",
 ]
 
 

@@ -1993,3 +1993,91 @@ def schema_evolution_replay(spark, sf):
         "added boolean, renamed boolean, ntok_widened boolean, "
         "readable boolean, has_rows boolean",
     )
+
+
+# ======================================================================
+# multi-table routing (SURVEY.md §2 multi-table gap; r5)
+# ======================================================================
+@q(
+    "multi_table_replay",
+    f"""WITH mapped AS (
+  SELECT event_id AS lsn, user_id AS key, {OP_SQL_CASE} AS op FROM events
+), applied AS (
+  SELECT *, 'src' || CAST(key % 10 AS VARCHAR) AS source
+  FROM mapped WHERE op IN ('INSERT','UPDATE','DELETE')
+), routed AS (
+  SELECT 'low' AS tbl, * FROM applied WHERE key % 10 <= 4
+  UNION ALL
+  SELECT 'high' AS tbl, * FROM applied WHERE key % 10 >= 5
+), lww AS (
+  SELECT tbl, key, op, lsn, source,
+         ROW_NUMBER() OVER (PARTITION BY tbl, key ORDER BY lsn DESC) AS rn
+  FROM routed
+)
+SELECT tbl, CAST(key AS VARCHAR) AS doc_id,
+       CAST(lsn % 1000000 AS INT) AS last_tok,
+       CAST(1 AS INT) AS n_tok, source
+FROM lww WHERE rn = 1 AND op <> 'DELETE'""",
+)
+def multi_table_replay(spark, sf):
+    """One interleaved changelog -> TWO routed SnapshotTables under a
+    shared atomic group epoch (canal's instance: one cursor, per-table
+    adapter dispatch [C: client-adapter/rdb/.../RdbSyncService.java ::
+    per-Dml.table dispatch]). The END-TO-END engine run — epoch
+    planning, shared watermarks, per-route regex filter, LWW, bucketed
+    MERGE, group-marker commit — against a value-level SQL oracle that
+    replays each route's subscription view independently."""
+    import shutil
+    import tempfile
+
+    from canal_spark.multi import MultiTableEngine, TableRoute
+    from canal_spark.plans.table import SnapshotTable
+
+    ch = load(spark, sf, "events").select(
+        F.expr(OP_SQL_CASE).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        (F.col("user_id") % 8).cast("int").alias("source_partition"),
+        F.col("event_id").alias("tx_id"),
+        F.lit(True).alias("tx_commit"),
+        F.col("ts"),
+        F.array((F.col("event_id") % 1000000).cast("int")).alias("tokens"),
+        F.lit(1).cast("int").alias("n_tok"),
+        F.concat(F.lit("src"), (F.col("user_id") % 10).cast("string")).alias("source"),
+        F.lit(1).cast("int").alias("schema_ver"),
+    )
+    tmp = tempfile.mkdtemp(prefix="canal_multi_")
+    try:
+        ch.write.mode("overwrite").parquet(f"{tmp}/log")
+        routes = [
+            TableRoute(
+                "low",
+                SnapshotTable.create(f"{tmp}/low", n_buckets=8),
+                source_whitelist="src[0-4]",
+            ),
+            TableRoute(
+                "high",
+                SnapshotTable.create(f"{tmp}/high", n_buckets=8),
+                source_whitelist="src[5-9]",
+            ),
+        ]
+        eng = MultiTableEngine(
+            spark, f"{tmp}/log", routes, f"{tmp}/grp", lsn_budget=4_000
+        )
+        eng.run_to_completion()
+        out = None
+        for route in routes:
+            part = route.table.read(spark, with_bucket=False).select(
+                F.lit(route.name).alias("tbl"),
+                "doc_id",
+                F.element_at("tokens", 1).alias("last_tok"),
+                "n_tok",
+                "source",
+            )
+            out = part if out is None else out.unionByName(part)
+        rows = out.collect()  # materialize before the fixture is removed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "tbl string, doc_id string, last_tok int, n_tok int, source string"
+    )

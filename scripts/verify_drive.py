@@ -75,6 +75,41 @@ def main(phase: str) -> None:
         bad = sum(1 for g, e in zip(got.tokens, exp.tokens) if list(g) != list(e))
         assert bad == 0, f"{bad} token-array mismatches"
         print(f"VERIFY parity: {len(got)} rows byte-exact vs pandas oracle")
+    elif phase == "multi":
+        # multi-table routing drive: partial replay, fresh-handle
+        # resume, per-route parity vs the pandas oracle's subscription
+        # views (tests/oracle_replay.replay(source_pattern=...))
+        from canal_spark.multi import MultiTableEngine, TableRoute
+
+        sys.path.insert(0, "/root/repo")
+        from tests.oracle_replay import replay
+
+        def routes():
+            return [
+                TableRoute("low", SnapshotTable.create(f"{WORK}/mt_low", n_buckets=8),
+                           source_whitelist="src[0-4]"),
+                TableRoute("high", SnapshotTable.create(f"{WORK}/mt_high", n_buckets=8),
+                           source_whitelist="src[5-9]"),
+            ]
+
+        eng = MultiTableEngine(spark, LOG, routes(), f"{WORK}/mt_grp", lsn_budget=8000)
+        for _ in range(2):
+            eng.run_epoch()
+        eng2 = MultiTableEngine(spark, LOG, routes(), f"{WORK}/mt_grp", lsn_budget=8000)
+        eng2.run_to_completion()
+        total = 0
+        for route, pat in zip(eng2.routes, ("src[0-4]", "src[5-9]")):
+            got = (
+                route.table.read(spark)
+                .select("doc_id", "n_tok", "source")
+                .toPandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            exp = replay(LOG, source_pattern=pat).sort_values("doc_id").reset_index(drop=True)
+            assert list(got.doc_id) == list(exp.doc_id), route.name
+            assert list(got.n_tok) == list(exp.n_tok), route.name
+            total += len(got)
+        assert eng2.run_epoch() is None  # group-level exactly-once
+        print(f"VERIFY multi: {total} rows across 2 routed tables match per-route oracles")
     else:
         raise SystemExit(f"unknown phase {phase}")
 

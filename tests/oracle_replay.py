@@ -14,9 +14,11 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 
-def replay(changelog_dir: str) -> pd.DataFrame:
+def replay(changelog_dir: str, source_pattern: str | None = None) -> pd.DataFrame:
     """Final table state after full replay: (doc_id, tokens, n_tok, source),
-    sorted by doc_id."""
+    sorted by doc_id. `source_pattern` restricts the replay to events
+    whose `source` matches the regex (the per-route subscription view —
+    filter EVENTS, then replay)."""
     df = pq.read_table(changelog_dir).to_pandas()
 
     # only complete (committed) transactions are ever applied; a tx
@@ -25,6 +27,11 @@ def replay(changelog_dir: str) -> pd.DataFrame:
     rolled_back = set(df.loc[df.op == "XAROLLBACK", "tx_id"])
     df = df[df.tx_id.isin(committed - rolled_back)]
     df = df[df.op.isin(["INSERT", "UPDATE", "DELETE"])]
+    if source_pattern is not None:
+        # subscription view: tx completeness is a STREAM property (the
+        # engine's barrier sees the unfiltered stream), so the route
+        # filter applies after it, exactly like MultiTableEngine
+        df = df[df.source.str.match(source_pattern)]
 
     # global deterministic order; last writer wins
     df = df.sort_values(["lsn", "source_partition"], kind="stable")
