@@ -3,12 +3,16 @@
 entry()      -> flagship CDC collapse on sf0.001
 queries()    -> every implemented operator from SURVEY.md §2 plus the
                 training-data ops (dedup / similarity / text analysis)
-oracle_sql() -> matching ANSI SQL for DuckDB (omitted only for ops
-                that are genuinely not SQL-expressible: the hash-family
-                LSH dedup/ANN pair sets and the multimodal binary
-                stub; since r4 the exactly-once / schema-evolution /
-                stateful-gate protocols and the HLL sketch check their
-                outcome invariants against boolean/VALUES oracles)
+oracle_sql() -> matching ANSI SQL for DuckDB (omitted only for the
+                two ops with genuinely no SQL-checkable surface:
+                ann_ivf_topk's k-means-dependent top-k set and the
+                multimodal binary stub; since r4/r5 every protocol and
+                hash-family op checks its outcome INVARIANTS against
+                boolean/VALUES oracles — exactly-once, schema
+                evolution, stateful gate, HLL, the three dedup pair
+                sets (soundness + planted recall), LSH top-k (planted
+                copy must co-bucket and rank 1) — and the word-n-gram
+                pair set has a full row-level oracle, df cap included)
 """
 
 from __future__ import annotations

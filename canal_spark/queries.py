@@ -682,31 +682,161 @@ def _with_planted_dupes(docs: DataFrame) -> DataFrame:
     return docs.unionByName(dupes)
 
 
-@q("dedup_minhash_lsh")  # rows-only: hash-family specific, not ANSI-SQL-expressible
+PAIR_SOUND_ORACLE = (
+    "SELECT TRUE AS has_pairs, TRUE AS all_above_threshold, "
+    "TRUE AS jaccard_recomputed_ok, TRUE AS all_planted_found"
+)
+
+
+def _pair_soundness(
+    spark, pairs: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Invariant row over a near-dup detector's emitted pair set (the
+    r4 boolean-VALUES-oracle pattern, VERDICT r4 task 3): SOUNDNESS —
+    every emitted pair clears the exact-Jaccard threshold, recomputed
+    INDEPENDENTLY of jaccard_verify's equi-join-count formulation via
+    array_intersect/array_union over the full shingle sets — plus
+    RECALL over the 10 planted pairs. The pair set itself is
+    hash-family specific (not ANSI-SQL-reproducible); these two
+    properties are what make it a correct answer, and both are."""
+    sets_ = shingled.select(
+        F.col("doc_id").alias("_id"), F.array_distinct("shingles").alias("s")
+    )
+    j2 = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    ).cast("double")
+    sound = (
+        pairs.join(
+            sets_.select(F.col("_id").alias("id_a"), F.col("s").alias("sa")), "id_a"
+        )
+        .join(sets_.select(F.col("_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .withColumn("j2", j2)
+        .agg(
+            (F.count("*") > 0).alias("has_pairs"),
+            (F.min("j2") >= threshold).alias("all_above_threshold"),
+            (F.max(F.abs(F.col("jaccard") - F.col("j2"))) < 1e-9).alias(
+                "jaccard_recomputed_ok"
+            ),
+        )
+    )
+    planted = spark.createDataFrame(
+        [(i, i + 100000) for i in range(10)], "id_a long, id_b long"
+    )
+    found = planted.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    ).agg((F.count("*") == 10).alias("all_planted_found"))
+    return sound.crossJoin(found)  # 1-row scalar x 1-row scalar
+
+
+@q("dedup_minhash_lsh", PAIR_SOUND_ORACLE)
 def dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup pairs, driver-checked by invariants: the
+    LSH band join is only the candidate generator, so soundness (every
+    emitted pair's exact Jaccard >= 0.5, independently recomputed) and
+    planted-pair recall pin the semantics without reproducing the hash
+    family in SQL (pair-set coverage: tests/test_dedup_recall.py)."""
     docs = _with_planted_dupes(load(spark, sf, "documents"))
     sh = DD.word_shingles(docs)
     sig = DD.minhash_signatures(sh, num_perm=16)
-    pairs = DD.lsh_candidate_pairs(sig, bands=4)
-    return DD.jaccard_verify(pairs, sh, min_jaccard=0.5)
+    pairs = DD.jaccard_verify(DD.lsh_candidate_pairs(sig, bands=4), sh, min_jaccard=0.5)
+    return _pair_soundness(spark, pairs, sh, threshold=0.5)
 
 
-@q("dedup_simhash")  # rows-only
+@q(
+    "dedup_simhash",
+    "SELECT TRUE AS has_pairs, TRUE AS all_within_radius, "
+    "TRUE AS ids_canonical, TRUE AS all_planted_found",
+)
 def dedup_simhash(spark, sf):
+    """SimHash near-dup pairs at radius 4 / 5 blocks (pigeonhole:
+    <= 4 flips => some 12-bit block equal; one appended word flips up
+    to 4 bits on short docs). The 64-bit hash family is not
+    SQL-expressible, so the driver checks the detector's defining
+    invariants instead: every emitted pair is within the radius, the
+    pair list is canonical (id_a < id_b, no duplicates), and all 10
+    planted near-dupes are found (tests/test_dedup_recall.py holds the
+    pair-set coverage)."""
     docs = _with_planted_dupes(load(spark, sf, "documents"))
-    # radius 4 / 5 blocks: covers the planted near-dupes (one appended
-    # word flips up to 4 bits on short docs); recall asserted in
-    # tests/test_dedup_recall.py
-    return DD.simhash_near_pairs(DD.simhash(docs), max_hamming=4, blocks=5)
+    pairs = DD.simhash_near_pairs(DD.simhash(docs), max_hamming=4, blocks=5)
+    inv = pairs.agg(
+        (F.count("*") > 0).alias("has_pairs"),
+        (F.max("hamming") <= 4).alias("all_within_radius"),
+        (
+            F.sum(F.when(F.col("id_a") < F.col("id_b"), 0).otherwise(1)) == 0
+        ).alias("ordered"),
+        F.count("*").alias("n"),
+    )
+    distinct_n = pairs.select("id_a", "id_b").distinct().agg(
+        F.count("*").alias("dn")
+    )
+    planted = spark.createDataFrame(
+        [(i, i + 100000) for i in range(10)], "id_a long, id_b long"
+    )
+    found = planted.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    ).agg((F.count("*") == 10).alias("all_planted_found"))
+    return (
+        inv.crossJoin(distinct_n)  # 1-row scalars throughout
+        .crossJoin(found)
+        .select(
+            "has_pairs",
+            "all_within_radius",
+            (F.col("ordered") & (F.col("n") == F.col("dn"))).alias("ids_canonical"),
+            "all_planted_found",
+        )
+    )
 
 
-@q("dedup_ngram_jaccard")  # rows-only
+#: full row-level oracle for the word-n-gram detector: unlike the
+#: MinHash/SimHash families, its candidate rule is deterministic set
+#: logic — shared surviving (2 <= df <= 64) gram count >= least(3,
+#: |A|, |B|), then exact Jaccard >= 0.8 — so DuckDB can replay the
+#: ENTIRE pair set, df cap and all, from the parquet corpus.
+NGRAM_PAIRS_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id < 10),
+g AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 3 + 2),
+                             i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs)),
+ex AS (SELECT doc_id, UNNEST(s) AS sh FROM g),
+dfc AS (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh),
+surv AS (SELECT doc_id, list(sh) AS ks FROM ex JOIN dfc USING (sh)
+         WHERE df BETWEEN 2 AND 64 GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         len(list_intersect(COALESCE(sa.ks, []), COALESCE(sb.ks, []))) AS nsh,
+         len(a.s) AS sza, len(b.s) AS szb,
+         len(list_intersect(a.s, b.s)) AS inter
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  LEFT JOIN surv sa ON sa.doc_id = a.doc_id
+  LEFT JOIN surv sb ON sb.doc_id = b.doc_id)
+SELECT ia AS id_a, ib AS id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sza + szb - inter), 3) AS jaccard
+FROM cand
+WHERE nsh >= LEAST(3, sza, szb)
+  AND CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.8
+"""
+
+
+@q("dedup_ngram_jaccard", NGRAM_PAIRS_SQL)
 def dedup_ngram_jaccard(spark, sf):
+    """Word-unit n-gram Jaccard near-dup pairs: DF-capped gram join
+    (bounded pairs per gram) + shared-count floor + exact verify — the
+    r1 exploded char-gram self-join degenerated toward all-pairs at
+    corpus scale. No hashing anywhere in the rule, so the oracle
+    replays the full pair set (df cap included) in DuckDB; the rounded
+    jaccard column pins the capped-join + hot-gram-completion
+    intersection arithmetic row by row."""
     docs = _with_planted_dupes(load(spark, sf, "documents"))
-    # word-unit n-gram Jaccard: DF-capped gram join (bounded pairs per
-    # gram) + shared-count floor + exact verify — the r1 exploded
-    # char-gram self-join degenerated toward all-pairs at corpus scale
-    return DD.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.8)
+    return DD.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 3).alias("jaccard")
+    )
 
 
 CLUSTER_SQL = """
@@ -853,10 +983,33 @@ def ann_cosine_topk(spark, sf):
     return SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@q("ann_lsh_topk")  # rows-only: bucketing is hash-family specific
+@q(
+    "ann_lsh_topk",
+    "SELECT CAST(10 AS BIGINT) AS n_queries, "
+    "CAST(10 AS BIGINT) AS n_planted_hits, TRUE AS planted_all_rank1",
+)
 def ann_lsh_topk(spark, sf):
+    """LSH-bucketed top-k, driver-checked by the property LSH actually
+    promises: a vector IDENTICAL to the query (planted copy, id+1e6)
+    hashes to the query's bucket with probability 1 and must come back
+    as its rank-1 neighbor for all 10 queries. A brute-force-recall
+    floor (the IVF pattern) is meaningless here: on isotropic
+    synthetic embeddings a single probed bucket covers 1/2^8 of the
+    corpus, so recall vs global top-k is covered-mass-bound at ~2-4%
+    by construction (measured both scales) — near-duplicate retrieval,
+    not global ranking, is the LSH contract. The hyperplane family
+    itself is not SQL-expressible; the invariant row is (full top-k
+    output exercised in tests/test_joins_similarity.py)."""
     emb = load(spark, sf, "embeddings")
-    return SIM.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    qs = emb.filter(F.col("vec_id") < 10)
+    planted = qs.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    topk = SIM.lsh_bucketed_topk(emb.unionByName(planted), qs, k=5)
+    hits = topk.filter(F.col("neighbor_id") == F.col("query_id") + 1_000_000)
+    return hits.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_planted_hits"),
+        (F.max("rank") == 1).alias("planted_all_rank1"),
+    )
 
 
 NEARDUP_SQL = """
