@@ -1164,7 +1164,7 @@ def incremental_changes_consistent(spark, sf):
 
 
 REFINE_SQL = """
-WITH kept AS (
+WITH RECURSIVE kept AS (
   SELECT doc_id, text, n_chars FROM documents
   WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
 sh AS (
@@ -1173,13 +1173,20 @@ sh AS (
                              i -> array_to_string(w[i:i+2], ' '))
          ELSE [array_to_string(w, ' ')] END) AS s
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM kept)),
-nd AS (
-  SELECT DISTINCT b.doc_id
+p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+e AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+r AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM kept
+  UNION
+  SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node),
+canon AS (SELECT node, MIN(lbl) AS cluster FROM r GROUP BY node),
 fuzzy AS (
-  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+  SELECT k.* FROM kept k JOIN canon c ON k.doc_id = c.node
+  WHERE c.cluster = k.doc_id),
 scored AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tok,
     LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
@@ -1210,22 +1217,38 @@ FROM c
 
 @q("refine_corpus", REFINE_SQL)
 def refine_corpus(spark, sf):
-    """End-to-end corpus refinement, the P-family composed as ONE lazy
-    plan with no intermediate materialization: exact dedup (md5
-    groupBy + semi-join keep-min) -> NEAR-dup drop (MinHash banding
-    generates candidates, exact word-3-gram Jaccard >= 0.8 verifies,
-    the larger id of each verified pair drops via anti-join) ->
-    quality + language gate (JVM scan-only expressions) ->
-    fixed-length sequence packing (distributed prefix sum).
+    """End-to-end corpus refinement, the P-family composed stage by
+    stage: exact dedup (md5 groupBy + semi-join keep-min) -> NEAR-dup
+    CLUSTER drop (MinHash banding generates candidates, exact
+    word-3-gram Jaccard >= 0.8 verifies, connected components collapse
+    transitive chains, keep the min-id CANONICAL doc per component —
+    r5, replacing the r4 pairwise larger-id drop that kept both ends
+    of an A~B~C chain) -> quality + language gate (JVM scan-only
+    expressions) -> fixed-length sequence packing (distributed prefix
+    sum). Everything except the O(component-diameter) label-
+    propagation rounds stays one fused lazy plan.
 
     The near-dup stage is EXACT-Jaccard-defined, so the oracle replays
-    it as an all-pairs DuckDB join; MinHash+LSH is only the candidate
-    generator. Detector/oracle agreement therefore requires 100% LSH
-    recall at the 0.8 threshold — verified on this corpus at sf0.001
-    and sf0.01 (28/28 and 25/25 natural near-dup pairs found; at
-    bands=8/r=2 a j=0.8 pair escapes banding with p~3e-4). At corpus
-    scale the all-pairs oracle is the one that's impossible and the
-    LSH path is the real algorithm."""
+    it as an all-pairs DuckDB join + recursive min-reachability CTE
+    (the proven dedup_cluster_assign oracle); MinHash+LSH is only the
+    candidate generator. Detector/oracle agreement therefore requires
+    100% LSH recall at the 0.8 threshold — verified on this corpus at
+    sf0.001 and sf0.01 (28/28 and 25/25 natural near-dup pairs found;
+    at bands=8/r=2 a j=0.8 pair escapes banding with p~3e-4). At
+    corpus scale the all-pairs oracle is the one that's impossible and
+    the LSH path is the real algorithm."""
+    return refine_corpus_stages(spark, sf)[-1][1]()
+
+
+def refine_corpus_stages(spark, sf):
+    """Ordered (name, thunk) stage boundaries of refine_corpus for
+    bench attribution (VERDICT r4 "what's wrong" #1: the single wall
+    couldn't tell stage drift from noise). Each thunk builds the
+    pipeline UP TO its boundary; stages share lineage, so timing them
+    cumulatively and differencing attributes the marginal stage cost.
+    The near-dup thunk triggers the label-propagation rounds at
+    construction time (connected_components' convergence loop) — that
+    driver-side cost belongs to the near-dup stage and lands there."""
     from canal_spark.operators.pack import pack_sequences
 
     docs = load(spark, sf, "documents")
@@ -1233,17 +1256,31 @@ def refine_corpus(spark, sf):
         F.min("doc_id").alias("doc_id")
     )
     kept = docs.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
-    sh = DD.word_shingles(kept)
-    sig = DD.minhash_signatures(sh, num_perm=16)
-    pairs = DD.jaccard_verify(
-        DD.lsh_candidate_pairs(sig, bands=8), sh, min_jaccard=0.8
-    )
-    near_dups = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    fuzzy = kept.join(near_dups, "doc_id", "left_anti")
-    survivors = fuzzy.filter(
-        (TX.quality_score("text") >= 0.5) & (TX.lang_id_heuristic("text") != "und")
-    ).select("doc_id", F.col("n_chars").cast("long").alias("n_tok"))
-    return pack_sequences(survivors, seq_len=512)
+
+    def near_stage() -> DataFrame:
+        sh = DD.word_shingles(kept)
+        sig = DD.minhash_signatures(sh, num_perm=16)
+        pairs = DD.jaccard_verify(
+            DD.lsh_candidate_pairs(sig, bands=8), sh, min_jaccard=0.8
+        )
+        clusters = DD.connected_components(pairs, kept.select("doc_id"))
+        canonical = clusters.filter(
+            F.col("doc_id") == F.col("cluster_id")
+        ).select("doc_id")
+        return kept.join(canonical, "doc_id", "left_semi")
+
+    def pack_stage() -> DataFrame:
+        survivors = near_stage().filter(
+            (TX.quality_score("text") >= 0.5)
+            & (TX.lang_id_heuristic("text") != "und")
+        ).select("doc_id", F.col("n_chars").cast("long").alias("n_tok"))
+        return pack_sequences(survivors, seq_len=512)
+
+    return [
+        ("exact_dedup", lambda: kept),
+        ("near_dup", near_stage),
+        ("gate_pack", pack_stage),
+    ]
 
 
 WINNOW_SQL = """
