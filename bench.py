@@ -167,6 +167,49 @@ def run_mor_replay(spark, n_events: int, n_epochs: int, workdir: str) -> dict:
     }
 
 
+def run_multi_replay(spark, n_events: int, n_epochs: int, workdir: str) -> dict:
+    """Instance-level throughput (r5): the SAME changelog replayed
+    through MultiTableEngine into two routed tables (src[0-4] /
+    src[5-9] — disjoint halves, together covering every event) under
+    the shared atomic group epoch. Comparable to cdc_replay: same
+    source events consumed, but the work is one shared watermark pass
+    + two per-route filtered apply pipelines + N+1 commits."""
+    import shutil
+
+    from canal_spark.multi import MultiTableEngine, TableRoute
+
+    log, _spec = bench_changelog(n_events)
+    shutil.rmtree(workdir, ignore_errors=True)
+    routes = [
+        TableRoute(
+            "low",
+            SnapshotTable.create(f"{workdir}/low", n_buckets=max(32, CPUS)),
+            source_whitelist="src[0-4]",
+        ),
+        TableRoute(
+            "high",
+            SnapshotTable.create(f"{workdir}/high", n_buckets=max(32, CPUS)),
+            source_whitelist="src[5-9]",
+        ),
+    ]
+    eng = MultiTableEngine(spark, log, routes, f"{workdir}/grp", lsn_budget=1)
+    ext = eng.extents  # planning scan outside the timed window
+    eng.lsn_budget = max(1, (max(ext.values()) + n_epochs) // n_epochs)
+    t0 = time.monotonic()
+    final = eng.run_to_completion()
+    wall = time.monotonic() - t0
+    applied = sum(
+        int(r.table.lineage_df(spark).toPandas().n_events.sum()) for r in routes
+    )
+    return {
+        "wall_sec": round(wall, 3),
+        "group_epochs": int(final),
+        "events_applied": applied,
+        "events_per_sec": round(applied / wall, 1),
+        "rows": {r.name: r.table.read(spark).count() for r in routes},
+    }
+
+
 def run_update_heavy(spark, n_events: int, n_update_epochs: int, workdir: str) -> dict:
     """The regime merge-on-read exists for: a LARGE seeded table takes
     a stream of SMALL update epochs. CoW rewrites every touched bucket
@@ -275,6 +318,16 @@ def main() -> None:
     mor["all_runs_wall_sec"] = [r["wall_sec"] for r in mor_runs]
     queries["mor_replay"] = mor["wall_sec"]
 
+    multi_runs = run_until_converged(
+        lambda: run_multi_replay(spark, N_EVENTS, N_EPOCHS, f"{WORK_ROOT}/bench_multi"),
+        min_runs=max(2, N_RUNS // 2),
+        max_runs=N_RUNS_MAX,
+        wall_of=lambda r: r["wall_sec"],
+    )
+    multi = max(multi_runs, key=lambda r: r["events_per_sec"])
+    multi["all_runs_wall_sec"] = [r["wall_sec"] for r in multi_runs]
+    queries["multi_replay"] = multi["wall_sec"]
+
     upd_runs = [
         run_update_heavy(spark, N_EVENTS, N_EPOCHS_UPDATE, f"{WORK_ROOT}/bench_upd")
         for _ in range(max(1, N_RUNS // 2))
@@ -359,6 +412,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_replay": replay,
                 "mor_replay": mor,
+                "multi_replay": multi,
                 "update_heavy": update_heavy,
                 "refine_corpus_stages": refine_stages,
                 "dedup_simhash_series": simhash_series,
