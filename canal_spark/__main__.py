@@ -38,7 +38,11 @@ def cmd_replay(args) -> int:
 
     spark = _spark(args.master, args.cpus)
     table = (
-        SnapshotTable.create(args.table, n_buckets=args.buckets)
+        SnapshotTable.create(
+            args.table,
+            n_buckets=args.buckets,
+            target_file_rows=args.target_file_rows,
+        )
         if not os.path.isdir(os.path.join(args.table, "meta"))
         else SnapshotTable(args.table)
     )
@@ -182,6 +186,11 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--changelog", required=True)
     rp.add_argument("--table", required=True)
     rp.add_argument("--buckets", type=int, default=32)
+    rp.add_argument("--target-file-rows", type=int, default=None,
+                    help="opt the table into the key-sorted split layout: "
+                    "replace-mode writes roll a new range-disjoint file "
+                    "every N rows (tight manifest bounds for update-shaped "
+                    "workloads; ~5%% replay cost)")
     rp.add_argument("--lsn-budget", type=int, default=1_000_000)
     rp.add_argument("--epochs-budget", type=int, default=None,
                     help="derive lsn budget to finish in N epochs")
