@@ -156,7 +156,17 @@ def main() -> None:
             out[32]["best"]["events_per_sec"] / out[8]["best"]["events_per_sec"], 2
         )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", args.out), "w") as f:
+    # bare names land in BENCH/; paths (relative or absolute) are
+    # honored as given — `--out BENCH/x.json` must not become
+    # BENCH/BENCH/x.json (and then crash the report write after an
+    # 18-minute measurement)
+    out_path = (
+        args.out
+        if os.sep in args.out or os.path.isabs(args.out)
+        else os.path.join(REPO, "BENCH", args.out)
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
 
