@@ -698,7 +698,15 @@ def _pair_soundness(
     array_intersect/array_union over the full shingle sets — plus
     RECALL over the 10 planted pairs. The pair set itself is
     hash-family specific (not ANSI-SQL-reproducible); these two
-    properties are what make it a correct answer, and both are."""
+    properties are what make it a correct answer, and both are.
+
+    The emitted pair set is tiny (near-dup pairs, vanishing vs the
+    corpus) but its LINEAGE is the whole detector pipeline, and this
+    invariant plan references it from both scalar branches —
+    localCheckpoint materializes it once (measured: without it the
+    dedup_minhash_lsh bench wall nearly doubled, the LSH pipeline
+    re-executing per branch)."""
+    pairs = pairs.localCheckpoint(eager=True)
     sets_ = shingled.select(
         F.col("doc_id").alias("_id"), F.array_distinct("shingles").alias("s")
     )
@@ -757,7 +765,11 @@ def dedup_simhash(spark, sf):
     planted near-dupes are found (tests/test_dedup_recall.py holds the
     pair-set coverage)."""
     docs = _with_planted_dupes(load(spark, sf, "documents"))
+    # three scalar branches below reference the pair set; materialize
+    # its (tiny) result once instead of re-running the detector per
+    # branch (same rationale as _pair_soundness)
     pairs = DD.simhash_near_pairs(DD.simhash(docs), max_hamming=4, blocks=5)
+    pairs = pairs.localCheckpoint(eager=True)
     inv = pairs.agg(
         (F.count("*") > 0).alias("has_pairs"),
         (F.max("hamming") <= 4).alias("all_within_radius"),
