@@ -3,16 +3,17 @@
 entry()      -> flagship CDC collapse on sf0.001
 queries()    -> every implemented operator from SURVEY.md §2 plus the
                 training-data ops (dedup / similarity / text analysis)
-oracle_sql() -> matching ANSI SQL for DuckDB (omitted only for the
-                two ops with genuinely no SQL-checkable surface:
-                ann_ivf_topk's k-means-dependent top-k set and the
-                multimodal binary stub; since r4/r5 every protocol and
-                hash-family op checks its outcome INVARIANTS against
-                boolean/VALUES oracles — exactly-once, schema
-                evolution, stateful gate, HLL, the three dedup pair
-                sets (soundness + planted recall), LSH top-k (planted
-                copy must co-bucket and rank 1) — and the word-n-gram
-                pair set has a full row-level oracle, df cap included)
+oracle_sql() -> matching ANSI SQL for DuckDB (omitted ONLY for
+                ann_ivf_topk, whose k-means-dependent top-k set has no
+                SQL-checkable surface — its recall is oracle-checked
+                via ann_ivf_recall instead; since r4/r5 every other
+                protocol and hash-family op checks its outcome
+                INVARIANTS against boolean/VALUES oracles —
+                exactly-once, schema evolution, stateful gate, HLL,
+                the dedup pair sets (soundness + planted recall), LSH
+                top-k (planted copy must co-bucket and rank 1) — the
+                word-n-gram pair set and the deterministic multimodal
+                decode stub have full row-level oracles)
 """
 
 from __future__ import annotations

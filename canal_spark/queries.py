@@ -1757,8 +1757,29 @@ def multimodal_frame_sample(spark, sf):
     return MM.frame_sample(media, every_n=4).select("doc_id", "frame_idx", "frame_len")
 
 
-@q("multimodal_decode_stub")  # rows-only: binary plumbing, decode stubbed
+#: the stub decode is DETERMINISTIC (byte length + first 8 payload
+#: bytes as little-endian int64), so the full mapInPandas output is
+#: SQL-replayable: per-char ord() × integer SHIFTS (power() would
+#: round — the sum spans >53 mantissa bits). Assumes the ASCII corpus
+#: (chars == bytes, high byte < 0x80 so feat never wraps negative);
+#: a non-ASCII corpus would hash-mismatch loudly, not silently.
+DECODE_STUB_SQL = """
+SELECT doc_id,
+  CAST(strlen(text) AS INT) AS n_bytes,
+  CAST(COALESCE(list_sum(list_transform(range(1, LEAST(length(text), 8) + 1),
+    i -> ord(substr(text, CAST(i AS INT), 1))
+         * (CAST(1 AS BIGINT) << CAST(8*(i-1) AS INT)))), 0) AS BIGINT) AS feat
+FROM documents
+"""
+
+
+@q("multimodal_decode_stub", DECODE_STUB_SQL)
 def multimodal_decode_stub(spark, sf):
+    """Multimodal binary plumbing (P13's Spark half): UTF-8 payload ->
+    mapInPandas Arrow-batched 'decode'. The real decoder seam stays
+    stubbed (no media libs in-sandbox), but since r5 the stub's
+    deterministic output is oracle-checked row-by-row — the batching,
+    schema, and byte plumbing are driver-verified, not just smoke-run."""
     from canal_spark.functions.tokens import multimodal_decode_stub as decode
 
     docs = load(spark, sf, "documents").select(
