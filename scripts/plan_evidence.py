@@ -40,8 +40,15 @@ CHECKS = [
     # never a nested loop or cartesian over the corpus. (ann_cosine_topk
     # is excluded by design: the brute-force baseline IS a broadcast
     # nested loop of a tiny query set, documented in similarity.py.)
-    ("dedup_minhash_lsh", ["HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
-    ("dedup_simhash", ["HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # the r5 invariant queries join 1-row scalar aggregates
+    # (soundness × planted recall) — that crossJoin legitimately plans
+    # as a BroadcastNestedLoopJoin of single rows, so the corpus-NLJ
+    # guard moves to the RAW pair pipelines (raw_* factories below),
+    # where a nested loop would actually mean all-pairs work
+    ("dedup_minhash_lsh", ["HashAggregate"], ["CartesianProduct"]),
+    ("dedup_simhash", ["HashAggregate"], ["CartesianProduct"]),
+    ("raw_minhash_pairs", ["HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    ("raw_simhash_pairs", ["HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     ("dedup_ngram_jaccard", ["HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     ("ann_lsh_topk", [], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     ("ann_ivf_topk", [], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
@@ -85,6 +92,32 @@ CHECKS = [
 ]
 
 
+def _raw_minhash_pairs(spark):
+    import canal_spark.operators.dedup as DD
+    from canal_spark.queries import _with_planted_dupes, load
+
+    docs = _with_planted_dupes(load(spark, SF, "documents"))
+    sh = DD.word_shingles(docs)
+    sig = DD.minhash_signatures(sh, num_perm=16)
+    return DD.jaccard_verify(DD.lsh_candidate_pairs(sig, bands=4), sh, min_jaccard=0.5)
+
+
+def _raw_simhash_pairs(spark):
+    import canal_spark.operators.dedup as DD
+    from canal_spark.queries import _with_planted_dupes, load
+
+    docs = _with_planted_dupes(load(spark, SF, "documents"))
+    return DD.simhash_near_pairs(DD.simhash(docs), max_hamming=4, blocks=5)
+
+
+#: plan factories that are not driver queries (raw operator pipelines
+#: whose plans the invariant queries wrap in scalar aggregations)
+FACTORIES = {
+    "raw_minhash_pairs": _raw_minhash_pairs,
+    "raw_simhash_pairs": _raw_simhash_pairs,
+}
+
+
 def main() -> None:
     spark = get_spark(app="plan_evidence", master="local[4]", shuffle_partitions=8)
     lines = [
@@ -100,7 +133,7 @@ def main() -> None:
         import contextlib
         import io
 
-        df = QUERIES[name](spark, SF)
+        df = FACTORIES[name](spark) if name in FACTORIES else QUERIES[name](spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
