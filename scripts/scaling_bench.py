@@ -61,7 +61,8 @@ results = []
 best_wall = float("inf"); since_improved = 0
 for run in range(runs):
     tbl = os.path.join(shm, f"scaling_table_{cores}"); shutil.rmtree(tbl, ignore_errors=True)
-    table = SnapshotTable.create(tbl, n_buckets=64)
+    tfr = int(os.environ.get("CANAL_SCALING_TFR", "0")) or None
+    table = SnapshotTable.create(tbl, n_buckets=64, target_file_rows=tfr)
     thr = int(os.environ.get("CANAL_BCAST_THRESHOLD", "4000000"))
     eng = CdcEngine(spark, log, table, lsn_budget=1, broadcast_threshold_rows=thr,
                     write_mode=os.environ.get("CANAL_SCALING_WRITE_MODE", "cow"))
