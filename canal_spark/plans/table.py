@@ -101,12 +101,17 @@ def write_bucketed(
 
     `sort=False` skips the per-task key sort (meaningless without
     `max_rows`): the CoW/MoR HOT PATH sorts only when the table opted
-    into the split layout — a paired same-session control measured the
-    sort at ~5% of an 8M-event CoW replay (20.85 s vs 19.79 s best-of-
-    6), a price only tables that WANT tight bounds should pay, exactly
-    like Iceberg's opt-in write sort order. Maintenance rewrites
-    (compaction / tombstone GC / rebucket) always sort — off the hot
-    path, and they are the layout repair mechanism."""
+    into the split layout. Measured cost scales with per-epoch write
+    volume: ~5% of an 8M-event CoW replay at 100k-row epochs (paired
+    control, 20.85 s vs 19.79 s best-of-6) but ~15-20% when every
+    epoch rewrites a full 800k-row table, and the sort is memory-
+    bandwidth-bound so it scales worse than the compute-bound default
+    on a membw-saturated host (BENCH/BASELINE.md §r5 sorted-layout
+    scaling) — a price only update-shaped tables that WANT tight
+    bounds should pay, exactly like Iceberg's opt-in write sort
+    order. Maintenance rewrites (compaction / tombstone GC /
+    rebucket) always sort — off the hot path, and they are the layout
+    repair mechanism."""
     out = df.repartition(n_tasks, "bucket")
     if sort:
         out = out.sortWithinPartitions("bucket", key_col)
