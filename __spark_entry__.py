@@ -3,17 +3,17 @@
 entry()      -> flagship CDC collapse on sf0.001
 queries()    -> every implemented operator from SURVEY.md §2 plus the
                 training-data ops (dedup / similarity / text analysis)
-oracle_sql() -> matching ANSI SQL for DuckDB (omitted ONLY for
-                ann_ivf_topk, whose k-means-dependent top-k set has no
-                SQL-checkable surface — its recall is oracle-checked
-                via ann_ivf_recall instead; since r4/r5 every other
-                protocol and hash-family op checks its outcome
-                INVARIANTS against boolean/VALUES oracles —
-                exactly-once, schema evolution, stateful gate, HLL,
-                the dedup pair sets (soundness + planted recall), LSH
-                top-k (planted copy must co-bucket and rank 1) — the
-                word-n-gram pair set and the deterministic multimodal
-                decode stub have full row-level oracles)
+oracle_sql() -> matching ANSI SQL for DuckDB, for EVERY queries()
+                entry (rows-only surface reached zero in r5):
+                relational ops get row-level oracles; protocol and
+                hash-family ops check their outcome INVARIANTS against
+                boolean/VALUES oracles — exactly-once, schema
+                evolution, stateful gate, HLL, the dedup pair sets
+                (soundness + planted recall), LSH/IVF top-k (a planted
+                identical copy must route to the query's bucket/list
+                and return at rank 1) — and the word-n-gram pair set
+                and the deterministic multimodal decode stub are fully
+                row-level despite being "custom" ops
 """
 
 from __future__ import annotations

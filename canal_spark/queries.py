@@ -2015,11 +2015,33 @@ def running_frame_totals(spark, sf):
     )
 
 
-@q("ann_ivf_topk")  # rows-only: IVF list routing is centroid-specific
+@q(
+    "ann_ivf_topk",
+    "SELECT CAST(10 AS BIGINT) AS n_queries, "
+    "CAST(10 AS BIGINT) AS n_planted_hits, TRUE AS planted_all_rank1",
+)
 def ann_ivf_topk(spark, sf):
+    """IVF-bucketed top-k, driver-checked by the structural property
+    the index must preserve (the r5 ann_lsh_topk pattern): a vector
+    IDENTICAL to the query (planted copy, id+1e6) gets the query's
+    own nearest-centroid assignment — its nprobe=1 list is by
+    construction inside the query's nprobe=3 probe set — so it must
+    come back as the rank-1 neighbor for all 10 queries, whatever
+    centroids the seeded k-means learned. Global-recall quality is
+    separately oracle-checked by ann_ivf_recall (floor 0.65); the
+    centroid-specific top-k SET itself is exercised row-level in
+    tests/test_joins_similarity.py."""
     emb = load(spark, sf, "embeddings")
-    return SIM.ivf_bucketed_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=8, nprobe=3
+    qs = emb.filter(F.col("vec_id") < 10)
+    planted = qs.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    topk = SIM.ivf_bucketed_topk(
+        emb.unionByName(planted), qs, k=5, n_lists=8, nprobe=3
+    )
+    hits = topk.filter(F.col("neighbor_id") == F.col("query_id") + 1_000_000)
+    return hits.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_planted_hits"),
+        (F.max("rank") == 1).alias("planted_all_rank1"),
     )
 
 
