@@ -86,6 +86,9 @@ _SAMPLE_FIRST = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "multimodal_decode_stub",
+    "refine_corpus",
 ]
 
 
