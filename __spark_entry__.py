@@ -89,6 +89,7 @@ _SAMPLE_FIRST = [
     "ann_ivf_topk",
     "multimodal_decode_stub",
     "refine_corpus",
+    "rdb_sink_parity",
 ]
 
 

@@ -1175,6 +1175,68 @@ def incremental_changes_consistent(spark, sf):
     )
 
 
+@q(
+    "rdb_sink_parity",
+    "SELECT TRUE AS store_matches_table, TRUE AS epochs_marked, "
+    "TRUE AS reapply_noop",
+)
+def rdb_sink_parity(spark, sf):
+    """Concrete RDB store driver (S8, r5): a mini end-to-end replay
+    with DuckDBSink attached — the ACID store's final state must equal
+    the engine's own table, every epoch must be marked exactly once,
+    and re-delivering an already-marked epoch (with poisoned content)
+    must change nothing. The r4 boolean-VALUES pattern; full coverage
+    incl. the LWW rollback guard in tests/test_sinks.py."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sinks import DuckDBSink
+    from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+
+    tmp = tempfile.mkdtemp(prefix="canal_rdb_")
+    try:
+        log = generate_changelog(
+            f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+        )
+        sink = DuckDBSink(f"{tmp}/sink.duckdb", table="docs")
+        table = SnapshotTable.create(f"{tmp}/table", n_buckets=4)
+        eng = CdcEngine(spark, log, table, lsn_budget=500, sinks=(sink,))
+        final = eng.run_to_completion()
+        con = duckdb.connect(f"{tmp}/sink.duckdb")
+        store = sorted(
+            con.execute("SELECT doc_id, n_tok, source FROM docs").fetchall()
+        )
+        n_marked = con.execute("SELECT COUNT(*) FROM __canal_epochs").fetchone()[0]
+        con.close()
+        engine_rows = sorted(
+            (r["doc_id"], r["n_tok"], r["source"])
+            for r in table.read(spark).select("doc_id", "n_tok", "source").collect()
+        )
+        matches = store == engine_rows
+        # re-deliver a marked epoch with poisoned content: must no-op
+        poison = spark.createDataFrame(
+            [("poison", "INSERT", [0], 0, "srcX", 1 << 40)],
+            "doc_id string, op string, tokens array<long>, n_tok long, "
+            "source string, _seq long",
+        )
+        sink.apply(spark, poison, final)
+        con = duckdb.connect(f"{tmp}/sink.duckdb")
+        after = sorted(
+            con.execute("SELECT doc_id, n_tok, source FROM docs").fetchall()
+        )
+        con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(matches, n_marked == final, after == store)],
+        "store_matches_table boolean, epochs_marked boolean, reapply_noop boolean",
+    )
+
+
 REFINE_SQL = """
 WITH RECURSIVE kept AS (
   SELECT doc_id, text, n_chars FROM documents

@@ -142,6 +142,125 @@ class MappedParquetSink:
         self.mapping.apply(delta).write.mode("overwrite").parquet(self.epoch_dir(epoch))
 
 
+class DuckDBSink:
+    """Concrete RDB store driver — the half of canal's RdbSyncService
+    S8 left open ([C: client-adapter/rdb/.../RdbSyncService.java ::
+    batched INSERT/UPDATE/DELETE by pk into the target JDBC store]):
+    applies each epoch's collapsed delta to a real ACID database
+    (DuckDB, the RDB available in-sandbox) as MERGE-by-pk.
+
+    Delivery is EXACTLY-ONCE, not just idempotent-overwrite: one
+    transaction per epoch covers (a) an applied-epochs marker row, (b)
+    DELETE of tombstoned keys, (c) upsert of the rest guarded by
+    `excluded._seq >= target._seq` (LWW at the store, so a replayed or
+    reordered delivery can never roll a row backward). A re-apply of
+    an already-marked epoch is a no-op before any data touch; a crash
+    mid-apply rolls the whole transaction back.
+
+    Scale shape, honestly: DuckDB is single-writer, so the mapped
+    delta funnels through the driver — as ARROW BATCHES
+    (DataFrame.toArrow), never a Python row loop — and the delta is
+    O(changed keys) per epoch, not O(table). On a real cluster this
+    class is the seam where an executor-parallel JDBC writer
+    (foreachPartition + upsert batches) plugs in; the transaction /
+    marker / LWW-guard logic is the same there.
+
+    The `mapping` (SinkMapping) transforms payload columns but must
+    keep `key_col`, `op`, and `_seq` — validated at apply time."""
+
+    EPOCHS_TABLE = "__canal_epochs"
+
+    def __init__(
+        self,
+        db_path: str,
+        table: str = "target",
+        key_col: str = "doc_id",
+        mapping: SinkMapping | None = None,
+    ):
+        if not table.isidentifier() or not key_col.isidentifier():
+            raise ValueError(f"unsafe identifier: {table!r}/{key_col!r}")
+        self.db_path = db_path
+        self.table = table
+        self.key_col = key_col
+        self.mapping = mapping or SinkMapping()
+
+    def apply(self, spark: SparkSession, delta: DataFrame, epoch: int) -> None:
+        import duckdb
+
+        mapped = self.mapping.apply(delta)
+        missing = {self.key_col, "op", "_seq"} - set(mapped.columns)
+        if missing:
+            raise ValueError(
+                f"DuckDBSink mapping must preserve {sorted(missing)} "
+                "(key / op routing / LWW guard columns)"
+            )
+        batch = mapped.toArrow()  # driver funnel: Arrow, not rows
+        cols = [c for c in batch.schema.names if c != "op"]
+        collist = ", ".join(f'"{c}"' for c in cols)
+        con = duckdb.connect(self.db_path)
+        try:
+            con.register("__delta", batch)
+            con.execute("BEGIN")
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {self.EPOCHS_TABLE} "
+                "(epoch BIGINT PRIMARY KEY, applied_rows BIGINT)"
+            )
+            already = con.execute(
+                f"SELECT 1 FROM {self.EPOCHS_TABLE} WHERE epoch = ?", [epoch]
+            ).fetchone()
+            if already:
+                con.execute("ROLLBACK")  # exactly-once: epoch done
+                return
+            con.execute(
+                f'CREATE TABLE IF NOT EXISTS "{self.table}" AS '
+                "SELECT * EXCLUDE (op) FROM __delta LIMIT 0"
+            )
+            # pk uniqueness: enforced by the MERGE shape below, NOT by
+            # a unique index — two documented DuckDB limitations rule
+            # the index out (ON CONFLICT DO UPDATE cannot update LIST
+            # columns, and an ART unique index rejects delete-then-
+            # reinsert of a key within one transaction). The shape is
+            # sufficient: the delta is LWW-collapsed to one row per
+            # key, and the guarded DELETE + NOT EXISTS insert can
+            # never leave two rows for a key.
+            k, t = self.key_col, self.table
+            con.execute(
+                f'DELETE FROM "{t}" WHERE "{k}" IN '
+                f"(SELECT \"{k}\" FROM __delta WHERE op = 'DELETE')"
+            )
+            # MERGE with the LWW guard: drop existing rows a
+            # newer-or-equal incoming version supersedes, then insert
+            # every incoming row whose key no longer exists — stale
+            # incoming rows (older than the stored version) fail the
+            # NOT EXISTS and are skipped, so replayed or reordered
+            # deliveries can never roll a row backward
+            con.execute(
+                f'DELETE FROM "{t}" USING __delta d '
+                f'WHERE "{t}"."{k}" = d."{k}" '
+                "AND d.op <> 'DELETE' AND d.\"_seq\" >= "
+                f'"{t}"."_seq"'
+            )
+            con.execute(
+                f'INSERT INTO "{t}" ({collist}) '
+                f"SELECT {collist} FROM __delta d WHERE d.op <> 'DELETE' "
+                f'AND NOT EXISTS (SELECT 1 FROM "{t}" x '
+                f'WHERE x."{k}" = d."{k}")'
+            )
+            con.execute(
+                f"INSERT INTO {self.EPOCHS_TABLE} VALUES (?, ?)",
+                [epoch, batch.num_rows],
+            )
+            con.execute("COMMIT")
+        except Exception:
+            try:
+                con.execute("ROLLBACK")
+            except Exception:
+                pass
+            raise
+        finally:
+            con.close()
+
+
 class FlatMessageDirSink:
     """MQ-topic stand-in: epoch-keyed directories of FlatMessage JSON
     lines (swap the write for a Kafka producer `.format("kafka")` on a
