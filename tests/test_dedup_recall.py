@@ -36,6 +36,18 @@ def test_minhash_lsh_finds_all_planted(docs):
     assert not missing, f"MinHash+LSH missed planted near-dupes: {sorted(missing)}"
 
 
+def test_minhash_scan_agg_value_parity(docs):
+    """The scan-side (HOF fold) and explode+agg MinHash plans are two
+    physical shapes of the SAME hash family — every signature element
+    must be identical, or banding keys diverge between callers."""
+    sh = DD.word_shingles(docs)
+    a = DD.minhash_signatures(sh, num_perm=16, method="agg").withColumnRenamed("sig", "sa")
+    b = DD.minhash_signatures(sh, num_perm=16, method="scan").withColumnRenamed("sig", "sb")
+    j = a.join(b, "doc_id")
+    assert j.filter(F.col("sa") != F.col("sb")).count() == 0
+    assert j.count() == docs.count()
+
+
 def test_simhash_finds_all_planted(docs):
     # planted hamming distances reach 4 (one appended word flips more
     # bits on short docs), so detect at radius 4 / 5 blocks (pigeonhole:

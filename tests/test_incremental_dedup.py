@@ -1,0 +1,68 @@
+"""IncrementalDeduper semantics: first arrival wins regardless of id,
+within-batch dedup stays canonical-min, components containing any
+retained doc drop ALL their new members, and state accumulates across
+batches (the streaming-corpus counterpart of refine_corpus' near-dup
+stage; the driver's dedup_incremental oracle replays the same rule in
+SQL)."""
+
+from __future__ import annotations
+
+import pytest
+
+from canal_spark.operators.dedup import IncrementalDeduper
+
+T = " ".join(f"alpha{i}" for i in range(30))
+U = " ".join(f"omega{i}" for i in range(30))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ids(df) -> set[int]:
+    return {int(r["doc_id"]) for r in df.collect()}
+
+
+def test_first_arrival_wins_over_smaller_id(spark):
+    """A doc retained in an earlier batch beats a LATER near-identical
+    doc with a SMALLER id — arrival order, not id order, decides."""
+    dd = IncrementalDeduper()
+    assert _ids(dd.observe(_df(spark, [(9, T)]))) == {9}
+    assert _ids(dd.observe(_df(spark, [(1, T)]))) == set()
+    assert _ids(dd.retained) == {9}
+
+
+def test_within_batch_keeps_min_id(spark):
+    dd = IncrementalDeduper()
+    got = _ids(dd.observe(_df(spark, [(3, T), (7, T), (5, U)])))
+    assert got == {3, 5}
+
+
+def test_unrelated_docs_pass_through(spark):
+    dd = IncrementalDeduper()
+    assert _ids(dd.observe(_df(spark, [(1, T)]))) == {1}
+    assert _ids(dd.observe(_df(spark, [(2, U)]))) == {2}
+    assert _ids(dd.retained) == {1, 2}
+
+
+def test_component_with_retained_member_drops_all(spark):
+    """Transitive chain to a retained doc: 4~10 (J≈0.90) and 6~4
+    (J≈0.84) but 6!~10 directly (J≈0.76 < 0.8) — the whole new
+    component {4, 6} drops because it contains a path to retained 10,
+    even though 6 has no direct edge to it."""
+    dd = IncrementalDeduper()
+    assert _ids(dd.observe(_df(spark, [(10, T)]))) == {10}
+    mid = T + " x1 x2 x3"
+    far = T + " x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    got = _ids(dd.observe(_df(spark, [(4, mid), (6, far), (8, U)])))
+    assert got == {8}
+    assert _ids(dd.retained) == {10, 8}
+
+
+def test_state_accumulates_across_three_batches(spark):
+    dd = IncrementalDeduper()
+    dd.observe(_df(spark, [(1, T)]))
+    dd.observe(_df(spark, [(2, U)]))
+    got = _ids(dd.observe(_df(spark, [(3, T + " x"), (4, U + " y"), (5, "zeta " * 20)])))
+    assert got == {5}
+    assert _ids(dd.retained) == {1, 2, 5}
