@@ -81,6 +81,7 @@ _SAMPLE_FIRST = [
     "session_window_counts",
     "windowed_event_counts",
     # new or contract-changed in r5
+    "dedup_incremental",
     "multi_table_replay",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -897,6 +897,97 @@ def dedup_cluster_assign(spark, sf):
     return DD.connected_components(pairs, docs.select("doc_id"))
 
 
+INCR_DEDUP_SQL = """
+WITH RECURSIVE all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id < 10),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 3 + 2),
+                             i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs)),
+p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+-- batch 0: plain min-reachability canonical (no retained state yet)
+e0 AS (SELECT ia AS src, ib AS dst FROM p WHERE ia % 3 = 0 AND ib % 3 = 0
+       UNION SELECT ib, ia FROM p WHERE ia % 3 = 0 AND ib % 3 = 0),
+r0 AS (SELECT doc_id AS node, doc_id AS lbl FROM all_docs WHERE doc_id % 3 = 0
+       UNION SELECT e0.dst, r0.lbl FROM r0 JOIN e0 ON e0.src = r0.node),
+ret0 AS (SELECT node AS doc_id FROM r0 GROUP BY node HAVING MIN(lbl) = node),
+-- batch 1: new ids encoded +10000000 so every retained id is smaller;
+-- survivor = component min == own encoded id
+x1 AS (SELECT ia AS nid, ib AS rid FROM p JOIN ret0 ON p.ib = ret0.doc_id
+       WHERE ia % 3 = 1
+       UNION SELECT ib, ia FROM p JOIN ret0 ON p.ia = ret0.doc_id
+       WHERE ib % 3 = 1),
+e1 AS (SELECT ia + 10000000 AS src, ib + 10000000 AS dst FROM p
+       WHERE ia % 3 = 1 AND ib % 3 = 1
+       UNION SELECT ib + 10000000, ia + 10000000 FROM p
+       WHERE ia % 3 = 1 AND ib % 3 = 1
+       UNION SELECT nid + 10000000, rid FROM x1
+       UNION SELECT rid, nid + 10000000 FROM x1),
+r1 AS (SELECT doc_id + 10000000 AS node, doc_id + 10000000 AS lbl
+       FROM all_docs WHERE doc_id % 3 = 1
+       UNION SELECT doc_id AS node, doc_id AS lbl FROM ret0
+       UNION SELECT e1.dst, r1.lbl FROM r1 JOIN e1 ON e1.src = r1.node),
+s1 AS (SELECT node - 10000000 AS doc_id FROM r1 WHERE node >= 10000000
+       GROUP BY node HAVING MIN(lbl) = node),
+ret1 AS (SELECT doc_id FROM ret0 UNION SELECT doc_id FROM s1),
+-- batch 2: same rule against the grown retained set
+x2 AS (SELECT ia AS nid, ib AS rid FROM p JOIN ret1 ON p.ib = ret1.doc_id
+       WHERE ia % 3 = 2
+       UNION SELECT ib, ia FROM p JOIN ret1 ON p.ia = ret1.doc_id
+       WHERE ib % 3 = 2),
+e2 AS (SELECT ia + 10000000 AS src, ib + 10000000 AS dst FROM p
+       WHERE ia % 3 = 2 AND ib % 3 = 2
+       UNION SELECT ib + 10000000, ia + 10000000 FROM p
+       WHERE ia % 3 = 2 AND ib % 3 = 2
+       UNION SELECT nid + 10000000, rid FROM x2
+       UNION SELECT rid, nid + 10000000 FROM x2),
+r2 AS (SELECT doc_id + 10000000 AS node, doc_id + 10000000 AS lbl
+       FROM all_docs WHERE doc_id % 3 = 2
+       UNION SELECT doc_id AS node, doc_id AS lbl FROM ret1
+       UNION SELECT e2.dst, r2.lbl FROM r2 JOIN e2 ON e2.src = r2.node),
+s2 AS (SELECT node - 10000000 AS doc_id FROM r2 WHERE node >= 10000000
+       GROUP BY node HAVING MIN(lbl) = node)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(doc_id % 3 AS INT) AS admitted_batch
+FROM (SELECT doc_id FROM ret1 UNION SELECT doc_id FROM s2)
+"""
+
+
+@q("dedup_incremental", INCR_DEDUP_SQL)
+def dedup_incremental(spark, sf):
+    """Streaming-corpus near-dup dedup (axes A+B: CDC epochs x
+    curation): documents arrive in three batches (doc_id % 3 — the
+    planted clone of doc i lands in a DIFFERENT batch than i, so the
+    cross-batch probe path is exercised, and for i%3==2 the CLONE
+    arrives first and must win by arrival order, not by id). Each
+    batch is deduplicated against itself and the retained corpus via
+    `IncrementalDeduper`: only new docs are shingled/hashed; the
+    corpus participates through its persisted LSH band index.
+
+    The survivor rule is exact-Jaccard-defined (LSH only generates
+    candidates), so the oracle replays it per batch with the proven
+    min-reachability recursive CTE, retained ids encoded below new
+    ids — the same unified rule the operator applies. Oracle/detector
+    agreement rides on the verified 100% LSH recall at the 0.8
+    threshold on this corpus (see refine_corpus)."""
+    docs = _with_planted_dupes(load(spark, sf, "documents")).select("doc_id", "text")
+    dd = DD.IncrementalDeduper(min_jaccard=0.8, num_perm=16, bands=8)
+    outs = []
+    for t in range(3):
+        surv = dd.observe(docs.filter(F.col("doc_id") % 3 == t))
+        outs.append(surv.select("doc_id", F.lit(t).cast("int").alias("admitted_batch")))
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
 RECALL_ORACLE = (
     "SELECT CAST(10 AS BIGINT) AS n_planted, CAST(10 AS BIGINT) AS n_found, "
     "TRUE AS all_found"
