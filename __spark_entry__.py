@@ -82,6 +82,7 @@ _SAMPLE_FIRST = [
     "windowed_event_counts",
     # new or contract-changed in r5
     "dedup_incremental",
+    "dedup_incremental_resume",
     "multi_table_replay",
     "dedup_minhash_lsh",
     "dedup_simhash",

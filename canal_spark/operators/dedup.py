@@ -547,6 +547,17 @@ class IncrementalDeduper:
       `jaccard_verify` (the retained shingle relation is semi-joined
       to candidate ids before any shuffle).
 
+    Persistence (`state_dir`): with a state directory the retained
+    state lives on disk and the deduper is resumable from a cold JVM,
+    under the same commit discipline as the table layer — each batch's
+    survivor bands/shingles are written to `batch=<id>/` dirs FIRST,
+    then an exclusive completion marker (`os.link`, EEXIST ⇒ already
+    committed) publishes the batch. A crash between the two leaves an
+    unmarked dir the next run overwrites; re-observing a completed
+    batch id is an idempotent no-op that returns the recorded
+    survivors (exactly-once per batch, T2-style); out-of-order batch
+    ids raise (T3 sequential-ack analog).
+
     Canal analog: none (⊘) — this is the engine-beyond-reference
     operator family of SURVEY §2.11 composed with the CDC epoch model
     (axes A+B: change-data ingest × training-data curation).
@@ -560,6 +571,7 @@ class IncrementalDeduper:
         num_perm: int = 16,
         bands: int = 8,
         id_offset: int = 1 << 40,
+        state_dir: str | None = None,
     ) -> None:
         self.text_col = text_col
         self.id_col = id_col
@@ -567,14 +579,108 @@ class IncrementalDeduper:
         self.num_perm = num_perm
         self.bands = bands
         self.id_offset = id_offset
+        self.state_dir = state_dir
+        if state_dir is not None:
+            import os
+
+            os.makedirs(state_dir, exist_ok=True)
         self._bands: DataFrame | None = None  # (id, band_idx, band_key)
         self._shingled: DataFrame | None = None  # (id, shingles)
 
-    def observe(self, new_docs: DataFrame) -> DataFrame:
+    # -- persistent-state plumbing -------------------------------------
+    def _completed(self) -> list[int]:
+        import os
+        import re
+
+        if self.state_dir is None or not os.path.isdir(self.state_dir):
+            return []
+        out = []
+        for name in os.listdir(self.state_dir):
+            m = re.fullmatch(r"_batch_(\d+)\.done", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _schemas(self):
+        import json
+        import os
+
+        from pyspark.sql.types import StructType
+
+        path = os.path.join(self.state_dir, "schema.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            d = json.load(f)
+        return (
+            StructType.fromJson(json.loads(d["bands"])),
+            StructType.fromJson(json.loads(d["shingled"])),
+        )
+
+    def _disk_state(self, spark, completed: list[int]):
+        """(bands, shingled) unioned over completed batches — explicit
+        schemas so an all-dropped batch (empty parquet dir) reads back
+        as an empty frame instead of failing inference."""
+        sch = self._schemas()
+        if not completed or sch is None:
+            return None, None
+        bands_sch, sh_sch = sch
+        bp = [f"{self.state_dir}/batch={i}/bands" for i in completed]
+        sp = [f"{self.state_dir}/batch={i}/shingles" for i in completed]
+        return (
+            spark.read.schema(bands_sch).parquet(*bp),
+            spark.read.schema(sh_sch).parquet(*sp),
+        )
+
+    def _publish(self, batch_id: int) -> bool:
+        """Exclusive marker publish; False if already committed."""
+        import json
+        import os
+
+        marker = os.path.join(self.state_dir, f"_batch_{batch_id}.done")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        try:
+            os.link(tmp, marker)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def observe(self, new_docs: DataFrame, batch_id: int | None = None) -> DataFrame:
         """Deduplicate one arriving batch; returns the batch's
         survivor ids (one column, `id_col`) and appends them to the
-        retained state. Ids must be globally unique and < id_offset."""
+        retained state. Ids must be globally unique and < id_offset.
+        With `state_dir`, `batch_id` is required: completed ids replay
+        idempotently, ids below the high-water mark raise."""
+        import os
+
         idc = self.id_col
+        spark = new_docs.sparkSession
+        completed: list[int] = []
+        if self.state_dir is not None:
+            if batch_id is None:
+                raise ValueError("batch_id is required when state_dir is set")
+            completed = self._completed()
+            if batch_id in completed:
+                sch = self._schemas()
+                return (
+                    spark.read.schema(sch[0])
+                    .parquet(f"{self.state_dir}/batch={batch_id}/bands")
+                    .select(idc)
+                    .distinct()
+                )
+            if completed and batch_id < completed[-1]:
+                raise ValueError(
+                    f"batch {batch_id} arrived after batch {completed[-1]} "
+                    "was committed (out of order)"
+                )
+            ret_bands, ret_sh = self._disk_state(spark, completed)
+        else:
+            ret_bands, ret_sh = self._bands, self._shingled
+
         off = F.lit(self.id_offset)
         sh_new = word_shingles(new_docs.select(idc, self.text_col), self.text_col)
         sh_new = sh_new.select(idc, "shingles").localCheckpoint(eager=True)
@@ -594,17 +700,17 @@ class IncrementalDeduper:
             )
         )
         sh_all = sh_new.select((F.col(idc) + off).alias(idc), "shingles")
-        if self._bands is not None:
+        if ret_bands is not None:
             probe = (
                 b_new.alias("n")
-                .join(self._bands.alias("r"), ["band_idx", "band_key"])
+                .join(ret_bands.alias("r"), ["band_idx", "band_key"])
                 .select(
                     (F.col(f"n.{idc}") + off).alias("id_a"),
                     F.col(f"r.{idc}").alias("id_b"),
                 )
             )
             cand = cand.unionByName(probe)
-            sh_all = sh_all.unionByName(self._shingled)
+            sh_all = sh_all.unionByName(ret_sh)
         cand = cand.distinct()
 
         verified = jaccard_verify(
@@ -619,10 +725,39 @@ class IncrementalDeduper:
             .localCheckpoint(eager=True)
         )
 
-        # append survivors to the retained state, re-rooted so lineage
-        # stays O(1) in the number of observed batches
         surv_bands = b_new.join(survivors, idc, "left_semi")
         surv_sh = sh_new.join(survivors, idc, "left_semi")
+        if self.state_dir is not None:
+            # data first (crash leaves an unmarked dir the next run
+            # overwrites), exclusive marker last
+            import json
+
+            surv_bands.write.mode("overwrite").parquet(
+                f"{self.state_dir}/batch={batch_id}/bands"
+            )
+            surv_sh.write.mode("overwrite").parquet(
+                f"{self.state_dir}/batch={batch_id}/shingles"
+            )
+            sch_path = os.path.join(self.state_dir, "schema.json")
+            if not os.path.exists(sch_path):
+                with open(sch_path + ".tmp", "w") as f:
+                    json.dump(
+                        {
+                            "bands": surv_bands.schema.json(),
+                            "shingled": surv_sh.schema.json(),
+                        },
+                        f,
+                    )
+                os.replace(sch_path + ".tmp", sch_path)
+            if not self._publish(batch_id):
+                # a concurrent writer committed this batch first — its
+                # result is authoritative (ours is byte-equivalent by
+                # determinism but must not double-publish)
+                return self.observe(new_docs, batch_id)
+            return survivors
+
+        # in-memory mode: append survivors to the retained state,
+        # re-rooted so lineage stays O(1) in the number of batches
         if self._bands is None:
             self._bands = surv_bands.localCheckpoint(eager=True)
             self._shingled = surv_sh.localCheckpoint(eager=True)
@@ -631,7 +766,16 @@ class IncrementalDeduper:
             self._shingled = self._shingled.unionByName(surv_sh).localCheckpoint(eager=True)
         return survivors
 
+    def retained_ids(self, spark=None) -> DataFrame | None:
+        """Ids retained so far (None before the first batch). Disk
+        mode needs the `spark` handle; in-memory mode ignores it."""
+        if self.state_dir is not None:
+            completed = self._completed()
+            _, sh = self._disk_state(spark, completed)
+            return None if sh is None else sh.select(self.id_col)
+        return None if self._shingled is None else self._shingled.select(self.id_col)
+
     @property
     def retained(self) -> DataFrame | None:
-        """Ids retained so far (None before the first batch)."""
-        return None if self._shingled is None else self._shingled.select(self.id_col)
+        """In-memory-mode alias of retained_ids()."""
+        return self.retained_ids()

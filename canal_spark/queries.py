@@ -988,6 +988,36 @@ def dedup_incremental(spark, sf):
     return outs[0].unionByName(outs[1]).unionByName(outs[2])
 
 
+@q("dedup_incremental_resume", INCR_DEDUP_SQL)
+def dedup_incremental_resume(spark, sf):
+    """dedup_incremental through the PERSISTENT state path with a cold
+    restart between every batch: a FRESH IncrementalDeduper instance
+    per batch over one state_dir, so batch 1 and 2 dedup against state
+    recovered from disk (band index + shingle sets, completion-marker
+    protocol), not from driver memory. Same oracle as
+    dedup_incremental — resume must be semantically invisible."""
+    import shutil
+    import tempfile
+
+    docs = _with_planted_dupes(load(spark, sf, "documents")).select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="incr_dedup_state_")
+    try:
+        outs = []
+        for t in range(3):
+            dd = DD.IncrementalDeduper(
+                min_jaccard=0.8, num_perm=16, bands=8, state_dir=d
+            )
+            surv = dd.observe(docs.filter(F.col("doc_id") % 3 == t), batch_id=t)
+            outs.append(
+                surv.select("doc_id", F.lit(t).cast("int").alias("admitted_batch"))
+            )
+        # survivor frames are eagerly checkpointed, so the state dir
+        # can go before the caller collects
+        return outs[0].unionByName(outs[1]).unionByName(outs[2])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 RECALL_ORACLE = (
     "SELECT CAST(10 AS BIGINT) AS n_planted, CAST(10 AS BIGINT) AS n_found, "
     "TRUE AS all_found"

@@ -59,6 +59,70 @@ def test_component_with_retained_member_drops_all(spark):
     assert _ids(dd.retained) == {10, 8}
 
 
+def test_persistent_state_survives_cold_restart(spark, tmp_path):
+    """A FRESH deduper instance on the same state_dir must keep
+    deduplicating against what the previous instance retained."""
+    d = str(tmp_path / "st")
+    dd1 = IncrementalDeduper(state_dir=d)
+    assert _ids(dd1.observe(_df(spark, [(9, T)]), batch_id=0)) == {9}
+    dd2 = IncrementalDeduper(state_dir=d)
+    assert _ids(dd2.observe(_df(spark, [(1, T), (2, U)]), batch_id=1)) == {2}
+    assert _ids(dd2.retained_ids(spark)) == {9, 2}
+
+
+def test_persistent_replay_of_committed_batch_is_noop(spark, tmp_path):
+    """Re-observing an already-committed batch id returns the recorded
+    survivors and must not duplicate state (exactly-once per batch)."""
+    d = str(tmp_path / "st")
+    dd = IncrementalDeduper(state_dir=d)
+    first = _ids(dd.observe(_df(spark, [(3, T), (7, T)]), batch_id=0))
+    assert first == {3}
+    again = _ids(dd.observe(_df(spark, [(3, T), (7, T)]), batch_id=0))
+    assert again == {3}
+    assert dd.retained_ids(spark).count() == 1
+
+
+def test_persistent_out_of_order_batch_raises(spark, tmp_path):
+    d = str(tmp_path / "st")
+    dd = IncrementalDeduper(state_dir=d)
+    dd.observe(_df(spark, [(1, T)]), batch_id=5)
+    with pytest.raises(ValueError, match="out of order"):
+        dd.observe(_df(spark, [(2, U)]), batch_id=3)
+    with pytest.raises(ValueError, match="batch_id is required"):
+        dd.observe(_df(spark, [(2, U)]))
+
+
+def test_persistent_crash_before_marker_is_invisible(spark, tmp_path):
+    """Kill between the batch-dir write and the marker publish: the
+    unmarked dir must be invisible to a new instance, and re-observing
+    the batch recomputes it against the pre-crash state."""
+    import os
+
+    d = str(tmp_path / "st")
+    dd = IncrementalDeduper(state_dir=d)
+    dd.observe(_df(spark, [(9, T)]), batch_id=0)
+    dd.observe(_df(spark, [(4, U)]), batch_id=1)
+    os.unlink(os.path.join(d, "_batch_1.done"))  # simulate the crash
+    dd2 = IncrementalDeduper(state_dir=d)
+    assert _ids(dd2.retained_ids(spark)) == {9}
+    assert _ids(dd2.observe(_df(spark, [(4, U)]), batch_id=1)) == {4}
+    assert _ids(dd2.retained_ids(spark)) == {9, 4}
+
+
+def test_persistent_all_dropped_batch_round_trips(spark, tmp_path):
+    """A batch whose every doc is a near-dup of retained docs commits
+    EMPTY survivor relations — the empty parquet dirs must read back
+    (explicit schema, no inference) and later batches must still
+    dedup correctly."""
+    d = str(tmp_path / "st")
+    dd = IncrementalDeduper(state_dir=d)
+    assert _ids(dd.observe(_df(spark, [(1, T)]), batch_id=0)) == {1}
+    assert _ids(dd.observe(_df(spark, [(5, T)]), batch_id=1)) == set()
+    dd2 = IncrementalDeduper(state_dir=d)
+    assert _ids(dd2.observe(_df(spark, [(6, T + " x"), (7, U)]), batch_id=2)) == {7}
+    assert _ids(dd2.retained_ids(spark)) == {1, 7}
+
+
 def test_state_accumulates_across_three_batches(spark):
     dd = IncrementalDeduper()
     dd.observe(_df(spark, [(1, T)]))
