@@ -652,7 +652,10 @@ class IncrementalDeduper:
     def observe(self, new_docs: DataFrame, batch_id: int | None = None) -> DataFrame:
         """Deduplicate one arriving batch; returns the batch's
         survivor ids (one column, `id_col`) and appends them to the
-        retained state. Ids must be globally unique and < id_offset.
+        retained state. Ids must be NUMERIC, globally unique and
+        < id_offset (the retained-below-new encoding is arithmetic;
+        string-keyed tables map ids exactly — e.g. strip a prefix —
+        rather than hashing, which collides at corpus scale).
         With `state_dir`, `batch_id` is required: completed ids replay
         idempotently, ids below the high-water mark raise."""
         import os

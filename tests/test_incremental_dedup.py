@@ -7,6 +7,7 @@ SQL)."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from canal_spark.operators.dedup import IncrementalDeduper
@@ -130,3 +131,56 @@ def test_state_accumulates_across_three_batches(spark):
     got = _ids(dd.observe(_df(spark, [(3, T + " x"), (4, U + " y"), (5, "zeta " * 20)])))
     assert got == {5}
     assert _ids(dd.retained) == {1, 2, 5}
+
+
+def test_cdc_epochs_feed_incremental_dedup(spark, changelog_dir, tmp_path):
+    """Axes A+B composed end-to-end: the CDC engine replays epochs into
+    the table, each epoch's INSERT slice of read_changes feeds the
+    PERSISTENT deduper (a fresh instance per epoch = cold resume, the
+    epoch number as batch_id) with text = the token array. At
+    min_jaccard=1.0 the near-dup components are exactly the groups
+    with equal shingle SETS, so an independent pandas replay of the
+    arrival-order rule pins the expected retained set."""
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    eng = CdcEngine(spark, changelog_dir, table, lsn_budget=1500)
+    state = str(tmp_path / "dedup_state")
+    arrivals: list[tuple[int, int, str]] = []
+    got: set[int] = set()
+    prev = 0
+    while eng.run_epoch() is not None:
+        e = table.current_epoch()
+        ins = table.read_changes(spark, prev, e).filter(F.col("op") == "INSERT")
+        # the table's doc_id is a string ('d0000018'); the deduper's
+        # retained-below-new id encoding needs numeric ids, so strip
+        # the prefix (exact, collision-free — unlike hashing the id)
+        docs = ins.select(
+            F.substring("doc_id", 2, 18).cast("long").alias("doc_id"),
+            F.array_join("tokens", " ").alias("text"),
+        )
+        dd = IncrementalDeduper(min_jaccard=1.0, state_dir=state)
+        got |= _ids(dd.observe(docs, batch_id=e))
+        arrivals += [(e, int(r["doc_id"]), r["text"]) for r in docs.collect()]
+        prev = e
+    assert len({a[0] for a in arrivals}) >= 2, "need multiple CDC epochs"
+
+    def shset(text: str) -> frozenset:
+        w = text.split(" ")
+        if len(w) < 3:
+            return frozenset({text})
+        return frozenset(" ".join(w[i : i + 3]) for i in range(len(w) - 2))
+
+    retained_sets: dict[frozenset, int] = {}
+    expected: set[int] = set()
+    for e in sorted({a[0] for a in arrivals}):
+        by_set: dict[frozenset, int] = {}
+        for _, i, t in (a for a in arrivals if a[0] == e):
+            s = shset(t)
+            if s in retained_sets:
+                continue
+            by_set[s] = min(by_set.get(s, i), i)
+        retained_sets.update(by_set)
+        expected |= set(by_set.values())
+    assert got == expected and len(expected) > 0
