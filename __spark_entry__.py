@@ -83,6 +83,7 @@ _SAMPLE_FIRST = [
     # new or contract-changed in r5
     "dedup_incremental",
     "dedup_incremental_resume",
+    "dedup_incremental_compacted",
     "multi_table_replay",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -556,7 +556,10 @@ class IncrementalDeduper:
     unmarked dir the next run overwrites; re-observing a completed
     batch id is an idempotent no-op that returns the recorded
     survivors (exactly-once per batch, T2-style); out-of-order batch
-    ids raise (T3 sequential-ack analog).
+    ids raise (T3 sequential-ack analog). The per-batch log is bounded
+    by `compact_state` (fold into a `_src_batch`-tagged base under the
+    same marker discipline — semantically invisible, replay-preserving,
+    crash-safe at every interleaving).
 
     Canal analog: none (⊘) — this is the engine-beyond-reference
     operator family of SURVEY §2.11 composed with the CDC epoch model
@@ -601,6 +604,22 @@ class IncrementalDeduper:
                 out.append(int(m.group(1)))
         return sorted(out)
 
+    def _latest_base(self) -> int | None:
+        """Highest published compaction base (`_base_<k>.done` asserts
+        `base=<k>/` holds the union of survivors of all batches <= k,
+        tagged with their source batch id). None before any compaction."""
+        import os
+        import re
+
+        if self.state_dir is None or not os.path.isdir(self.state_dir):
+            return None
+        ks = [
+            int(m.group(1))
+            for name in os.listdir(self.state_dir)
+            if (m := re.fullmatch(r"_base_(\d+)\.done", name))
+        ]
+        return max(ks) if ks else None
+
     def _schemas(self):
         import json
         import os
@@ -617,20 +636,60 @@ class IncrementalDeduper:
             StructType.fromJson(json.loads(d["shingled"])),
         )
 
-    def _disk_state(self, spark, completed: list[int]):
-        """(bands, shingled) unioned over completed batches — explicit
-        schemas so an all-dropped batch (empty parquet dir) reads back
-        as an empty frame instead of failing inference."""
+    def _tagged_schemas(self):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        sch = self._schemas()
+        if sch is None:
+            return None
+        tag = StructField("_src_batch", LongType())
+        return (
+            StructType(list(sch[0].fields) + [tag]),
+            StructType(list(sch[1].fields) + [tag]),
+        )
+
+    def _disk_state_tagged(self, spark, completed: list[int]):
+        """(bands, shingled) with a `_src_batch` attribution column:
+        the latest published base (if any) plus the per-batch dirs
+        after it — explicit schemas so an all-dropped batch (empty
+        parquet dir) reads back as an empty frame instead of failing
+        inference."""
         sch = self._schemas()
         if not completed or sch is None:
             return None, None
         bands_sch, sh_sch = sch
-        bp = [f"{self.state_dir}/batch={i}/bands" for i in completed]
-        sp = [f"{self.state_dir}/batch={i}/shingles" for i in completed]
+        base = self._latest_base()
+        parts_b, parts_s = [], []
+        if base is not None:
+            tb, ts = self._tagged_schemas()
+            parts_b.append(spark.read.schema(tb).parquet(f"{self.state_dir}/base={base}/bands"))
+            parts_s.append(
+                spark.read.schema(ts).parquet(f"{self.state_dir}/base={base}/shingles")
+            )
+        tail = [i for i in completed if base is None or i > base]
+        for i in tail:
+            parts_b.append(
+                spark.read.schema(bands_sch)
+                .parquet(f"{self.state_dir}/batch={i}/bands")
+                .withColumn("_src_batch", F.lit(i).cast("long"))
+            )
+            parts_s.append(
+                spark.read.schema(sh_sch)
+                .parquet(f"{self.state_dir}/batch={i}/shingles")
+                .withColumn("_src_batch", F.lit(i).cast("long"))
+            )
+        from functools import reduce
+
         return (
-            spark.read.schema(bands_sch).parquet(*bp),
-            spark.read.schema(sh_sch).parquet(*sp),
+            reduce(lambda x, y: x.unionByName(y), parts_b),
+            reduce(lambda x, y: x.unionByName(y), parts_s),
         )
+
+    def _disk_state(self, spark, completed: list[int]):
+        b, s = self._disk_state_tagged(spark, completed)
+        if b is None:
+            return None, None
+        return b.drop("_src_batch"), s.drop("_src_batch")
 
     def _publish(self, batch_id: int) -> bool:
         """Exclusive marker publish; False if already committed."""
@@ -669,9 +728,16 @@ class IncrementalDeduper:
             completed = self._completed()
             if batch_id in completed:
                 sch = self._schemas()
+                bdir = f"{self.state_dir}/batch={batch_id}/bands"
+                if os.path.isdir(bdir):
+                    return spark.read.schema(sch[0]).parquet(bdir).select(idc).distinct()
+                # the batch dir was folded into a compaction base; the
+                # `_src_batch` tag preserves per-batch replay
+                tb, _ = self._tagged_schemas()
                 return (
-                    spark.read.schema(sch[0])
-                    .parquet(f"{self.state_dir}/batch={batch_id}/bands")
+                    spark.read.schema(tb)
+                    .parquet(f"{self.state_dir}/base={self._latest_base()}/bands")
+                    .filter(F.col("_src_batch") == batch_id)
                     .select(idc)
                     .distinct()
                 )
@@ -768,6 +834,66 @@ class IncrementalDeduper:
             self._bands = self._bands.unionByName(surv_bands).localCheckpoint(eager=True)
             self._shingled = self._shingled.unionByName(surv_sh).localCheckpoint(eager=True)
         return survivors
+
+    def compact_state(
+        self, spark, n_files: int = 8, remove_compacted: bool = True
+    ) -> int | None:
+        """Fold the log-structured per-batch survivor dirs into ONE
+        base relation (`base=<k>/bands`, `/shingles`, tagged with
+        `_src_batch` so idempotent replay of old batch ids keeps
+        working) under the table layer's commit discipline: data dirs
+        first, exclusive `os.link` marker last. A crash before the
+        marker leaves an invisible dir; the per-batch dirs are removed
+        only AFTER the marker publishes, so every intermediate state
+        resolves correctly. Returns the covered high batch id (None if
+        nothing to compact); already-fully-compacted is a no-op.
+
+        Why it matters at scale: one batch per CDC epoch means the
+        state grows two parquet dirs per epoch forever — after 10^5
+        epochs a cold resume lists and plans 2x10^5 inputs. Compaction
+        bounds that to O(n_files + batches since last compact), the
+        same small-file bound the table layer's compact_files gives
+        data buckets. A real deployment would write the base bucketed
+        by band_key so the probe join is shuffle-free on the corpus
+        side; here the rewrite repartitions to `n_files`."""
+        import os
+        import shutil
+
+        if self.state_dir is None:
+            raise ValueError("compact_state requires state_dir")
+        completed = self._completed()
+        if not completed:
+            return None
+        upto = completed[-1]
+        prev = self._latest_base()
+        if prev == upto:
+            return upto
+        bands, sh = self._disk_state_tagged(spark, completed)
+        bands.repartition(n_files).write.mode("overwrite").parquet(
+            f"{self.state_dir}/base={upto}/bands"
+        )
+        sh.repartition(n_files).write.mode("overwrite").parquet(
+            f"{self.state_dir}/base={upto}/shingles"
+        )
+        marker = os.path.join(self.state_dir, f"_base_{upto}.done")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(upto))
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            # a concurrent compactor published the same base first —
+            # identical content by determinism; let its flags govern
+            return upto
+        finally:
+            os.unlink(tmp)
+        if remove_compacted:
+            for i in completed:
+                shutil.rmtree(f"{self.state_dir}/batch={i}", ignore_errors=True)
+            if prev is not None:
+                shutil.rmtree(f"{self.state_dir}/base={prev}", ignore_errors=True)
+                os.unlink(os.path.join(self.state_dir, f"_base_{prev}.done"))
+        return upto
 
     def retained_ids(self, spark=None) -> DataFrame | None:
         """Ids retained so far (None before the first batch). Disk

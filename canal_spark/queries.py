@@ -1018,6 +1018,35 @@ def dedup_incremental_resume(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@q("dedup_incremental_compacted", INCR_DEDUP_SQL)
+def dedup_incremental_compacted(spark, sf):
+    """dedup_incremental_resume with `compact_state` between every
+    batch: the per-batch survivor log is folded into a single tagged
+    base relation (crash-safe marker protocol, covered dirs removed)
+    before the next batch probes it. Same oracle — compaction of the
+    dedup state must be semantically invisible, exactly as the table
+    layer's compact_files is to readers."""
+    import shutil
+    import tempfile
+
+    docs = _with_planted_dupes(load(spark, sf, "documents")).select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="incr_dedup_state_")
+    try:
+        outs = []
+        for t in range(3):
+            dd = DD.IncrementalDeduper(
+                min_jaccard=0.8, num_perm=16, bands=8, state_dir=d
+            )
+            surv = dd.observe(docs.filter(F.col("doc_id") % 3 == t), batch_id=t)
+            outs.append(
+                surv.select("doc_id", F.lit(t).cast("int").alias("admitted_batch"))
+            )
+            dd.compact_state(spark)
+        return outs[0].unionByName(outs[1]).unionByName(outs[2])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 RECALL_ORACLE = (
     "SELECT CAST(10 AS BIGINT) AS n_planted, CAST(10 AS BIGINT) AS n_found, "
     "TRUE AS all_found"

@@ -133,6 +133,71 @@ def test_state_accumulates_across_three_batches(spark):
     assert _ids(dd.retained) == {1, 2, 5}
 
 
+def test_compact_state_is_semantically_invisible(spark, tmp_path):
+    """compact_state between batches must not change any outcome: a
+    paired run without compaction pins the expected survivors, the
+    covered per-batch dirs are gone, and later batches dedup against
+    the base exactly as against the log."""
+    import os
+
+    d = str(tmp_path / "st")
+    dd = IncrementalDeduper(state_dir=d)
+    assert _ids(dd.observe(_df(spark, [(9, T)]), batch_id=0)) == {9}
+    assert _ids(dd.observe(_df(spark, [(11, U)]), batch_id=1)) == {11}
+    assert dd.compact_state(spark) == 1
+    assert not os.path.isdir(os.path.join(d, "batch=0"))
+    assert os.path.isdir(os.path.join(d, "base=1"))
+    dd2 = IncrementalDeduper(state_dir=d)
+    # 1 dups retained 9 (cross-base probe), 2 dups retained 11, 3 is new
+    got = _ids(dd2.observe(_df(spark, [(1, T), (2, U), (3, "gamma " * 20)]), batch_id=2))
+    assert got == {3}
+    assert _ids(dd2.retained_ids(spark)) == {9, 11, 3}
+
+
+def test_compact_state_preserves_batch_replay_and_order_guard(spark, tmp_path):
+    """Replaying a batch id whose dir was folded into the base returns
+    its recorded survivors via the _src_batch tag; the high-water-mark
+    guard still raises; compacting twice is a no-op; a second
+    compaction folds base + tail into a new base."""
+    import os
+
+    d = str(tmp_path / "st")
+    dd = IncrementalDeduper(state_dir=d)
+    dd.observe(_df(spark, [(3, T), (7, T)]), batch_id=0)
+    dd.observe(_df(spark, [(5, U)]), batch_id=2)
+    assert dd.compact_state(spark) == 2
+    assert dd.compact_state(spark) == 2  # idempotent no-op
+    assert _ids(dd.observe(_df(spark, [(3, T), (7, T)]), batch_id=0)) == {3}
+    assert _ids(dd.observe(_df(spark, [(5, U)]), batch_id=2)) == {5}
+    with pytest.raises(ValueError, match="out of order"):
+        dd.observe(_df(spark, [(8, U)]), batch_id=1)
+    dd.observe(_df(spark, [(12, "delta " * 20)]), batch_id=3)
+    assert dd.compact_state(spark) == 3
+    assert not os.path.isdir(os.path.join(d, "base=2"))
+    assert _ids(dd.observe(_df(spark, [(3, T), (7, T)]), batch_id=0)) == {3}
+    assert _ids(dd.retained_ids(spark)) == {3, 5, 12}
+
+
+def test_compact_crash_before_marker_is_invisible(spark, tmp_path):
+    """Kill between the base-dir write and the marker publish: the
+    unmarked base must be invisible (state resolves from the intact
+    per-batch log) and re-running compaction completes."""
+    import os
+
+    d = str(tmp_path / "st")
+    dd = IncrementalDeduper(state_dir=d)
+    dd.observe(_df(spark, [(9, T)]), batch_id=0)
+    dd.observe(_df(spark, [(11, U)]), batch_id=1)
+    dd.compact_state(spark, remove_compacted=False)
+    os.unlink(os.path.join(d, "_base_1.done"))  # simulate the crash
+    dd2 = IncrementalDeduper(state_dir=d)
+    assert _ids(dd2.retained_ids(spark)) == {9, 11}
+    assert _ids(dd2.observe(_df(spark, [(1, T)]), batch_id=2)) == set()
+    assert dd2.compact_state(spark) == 2
+    dd3 = IncrementalDeduper(state_dir=d)
+    assert _ids(dd3.retained_ids(spark)) == {9, 11}
+
+
 def test_cdc_epochs_feed_incremental_dedup(spark, changelog_dir, tmp_path):
     """Axes A+B composed end-to-end: the CDC engine replays epochs into
     the table, each epoch's INSERT slice of read_changes feeds the
