@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_incremental",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "asof_join_last_click",

@@ -49,6 +49,7 @@ CHECKS = [
     ("dedup_simhash", ["HashAggregate"], ["CartesianProduct"]),
     ("raw_minhash_pairs", ["HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     ("raw_simhash_pairs", ["HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    ("raw_incremental_probe", ["HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     ("dedup_ngram_jaccard", ["HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     ("ann_lsh_topk", [], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     ("ann_ivf_topk", [], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
@@ -110,11 +111,44 @@ def _raw_simhash_pairs(spark):
     return DD.simhash_near_pairs(DD.simhash(docs), max_hamming=4, blocks=5)
 
 
+def _raw_incremental_probe(spark):
+    """The IncrementalDeduper batch-vs-retained probe shape WITHOUT the
+    localCheckpoint re-rooting (which truncates the explain): new-batch
+    bands equi-join the retained band index on (band_idx, band_key),
+    then candidate-pruned exact-Jaccard verify — the per-epoch hot path
+    of the streaming deduper must never nested-loop over the corpus."""
+    import pyspark.sql.functions as F
+
+    import canal_spark.operators.dedup as DD
+    from canal_spark.queries import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    dd = DD.IncrementalDeduper(min_jaccard=0.8, num_perm=16, bands=8)
+    dd.observe(docs.filter("doc_id % 3 = 0"))
+    off = F.lit(dd.id_offset)
+    sh_new = DD.word_shingles(docs.filter("doc_id % 3 = 1")).select("doc_id", "shingles")
+    b_new = DD.lsh_bands(DD.minhash_signatures(sh_new, num_perm=16), bands=8)
+    probe = (
+        b_new.alias("n")
+        .join(dd._bands.alias("r"), ["band_idx", "band_key"])
+        .select(
+            (F.col("n.doc_id") + off).alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh_all = sh_new.select((F.col("doc_id") + off).alias("doc_id"), "shingles").unionByName(
+        dd._shingled
+    )
+    return DD.jaccard_verify(probe, sh_all, min_jaccard=0.8)
+
+
 #: plan factories that are not driver queries (raw operator pipelines
 #: whose plans the invariant queries wrap in scalar aggregations)
 FACTORIES = {
     "raw_minhash_pairs": _raw_minhash_pairs,
     "raw_simhash_pairs": _raw_simhash_pairs,
+    "raw_incremental_probe": _raw_incremental_probe,
 }
 
 
