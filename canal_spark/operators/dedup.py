@@ -662,20 +662,20 @@ class IncrementalDeduper:
         parts_b, parts_s = [], []
         if base is not None:
             tb, ts = self._tagged_schemas()
-            parts_b.append(spark.read.schema(tb).parquet(f"{self.state_dir}/base={base}/bands"))
-            parts_s.append(
-                spark.read.schema(ts).parquet(f"{self.state_dir}/base={base}/shingles")
-            )
+            bdir = self._base_dir(base)
+            parts_b.append(spark.read.schema(tb).parquet(f"{bdir}/bands"))
+            parts_s.append(spark.read.schema(ts).parquet(f"{bdir}/shingles"))
         tail = [i for i in completed if base is None or i > base]
         for i in tail:
+            bdir = self._batch_dir(i)
             parts_b.append(
                 spark.read.schema(bands_sch)
-                .parquet(f"{self.state_dir}/batch={i}/bands")
+                .parquet(f"{bdir}/bands")
                 .withColumn("_src_batch", F.lit(i).cast("long"))
             )
             parts_s.append(
                 spark.read.schema(sh_sch)
-                .parquet(f"{self.state_dir}/batch={i}/shingles")
+                .parquet(f"{bdir}/shingles")
                 .withColumn("_src_batch", F.lit(i).cast("long"))
             )
         from functools import reduce
@@ -691,15 +691,25 @@ class IncrementalDeduper:
             return None, None
         return b.drop("_src_batch"), s.drop("_src_batch")
 
-    def _publish(self, batch_id: int) -> bool:
-        """Exclusive marker publish; False if already committed."""
+    def _publish(self, marker_name: str, payload: dict) -> bool:
+        """Exclusive marker publish (unique tmp + `os.link`); False if
+        another writer committed this marker first. The payload's
+        `dir` entry names the authoritative data directory: writers
+        write to UNIQUELY-named dirs and the marker election decides
+        which one readers see, so no writer ever overwrites or deletes
+        a directory another writer published or is still writing —
+        the losing writer discards only its own dir. (A crash between
+        dir write and publish orphans one unreferenced dir; orphans
+        are bounded by crash count and swept when their batch range is
+        compacted away.)"""
         import json
         import os
+        import uuid
 
-        marker = os.path.join(self.state_dir, f"_batch_{batch_id}.done")
-        tmp = marker + ".tmp"
+        marker = os.path.join(self.state_dir, marker_name)
+        tmp = f"{marker}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
+            json.dump(payload, f)
         try:
             os.link(tmp, marker)
             return True
@@ -707,6 +717,25 @@ class IncrementalDeduper:
             return False
         finally:
             os.unlink(tmp)
+
+    def _marker_dir(self, marker_name: str, legacy: str) -> str:
+        """Authoritative data dir recorded in a published marker
+        (markers written before the unique-dir protocol carried no
+        payload — fall back to the fixed-name dir)."""
+        import json
+        import os
+
+        try:
+            with open(os.path.join(self.state_dir, marker_name)) as f:
+                return os.path.join(self.state_dir, json.load(f)["dir"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return os.path.join(self.state_dir, legacy)
+
+    def _batch_dir(self, batch_id: int) -> str:
+        return self._marker_dir(f"_batch_{batch_id}.done", f"batch={batch_id}")
+
+    def _base_dir(self, k: int) -> str:
+        return self._marker_dir(f"_base_{k}.done", f"base={k}")
 
     def observe(self, new_docs: DataFrame, batch_id: int | None = None) -> DataFrame:
         """Deduplicate one arriving batch; returns the batch's
@@ -728,7 +757,7 @@ class IncrementalDeduper:
             completed = self._completed()
             if batch_id in completed:
                 sch = self._schemas()
-                bdir = f"{self.state_dir}/batch={batch_id}/bands"
+                bdir = f"{self._batch_dir(batch_id)}/bands"
                 if os.path.isdir(bdir):
                     return spark.read.schema(sch[0]).parquet(bdir).select(idc).distinct()
                 # the batch dir was folded into a compaction base; the
@@ -736,7 +765,7 @@ class IncrementalDeduper:
                 tb, _ = self._tagged_schemas()
                 return (
                     spark.read.schema(tb)
-                    .parquet(f"{self.state_dir}/base={self._latest_base()}/bands")
+                    .parquet(f"{self._base_dir(self._latest_base())}/bands")
                     .filter(F.col("_src_batch") == batch_id)
                     .select(idc)
                     .distinct()
@@ -797,16 +826,18 @@ class IncrementalDeduper:
         surv_bands = b_new.join(survivors, idc, "left_semi")
         surv_sh = sh_new.join(survivors, idc, "left_semi")
         if self.state_dir is not None:
-            # data first (crash leaves an unmarked dir the next run
-            # overwrites), exclusive marker last
+            # data into a UNIQUE dir first (a crash orphans an
+            # unreferenced dir; nothing a concurrent writer published
+            # can be torn), exclusive marker election last — the
+            # marker payload names the winning dir
             import json
+            import shutil
+            import uuid
 
-            surv_bands.write.mode("overwrite").parquet(
-                f"{self.state_dir}/batch={batch_id}/bands"
-            )
-            surv_sh.write.mode("overwrite").parquet(
-                f"{self.state_dir}/batch={batch_id}/shingles"
-            )
+            dname = f"batch={batch_id}.{uuid.uuid4().hex[:8]}"
+            ddir = os.path.join(self.state_dir, dname)
+            surv_bands.write.mode("overwrite").parquet(f"{ddir}/bands")
+            surv_sh.write.mode("overwrite").parquet(f"{ddir}/shingles")
             sch_path = os.path.join(self.state_dir, "schema.json")
             if not os.path.exists(sch_path):
                 with open(sch_path + ".tmp", "w") as f:
@@ -818,10 +849,14 @@ class IncrementalDeduper:
                         f,
                     )
                 os.replace(sch_path + ".tmp", sch_path)
-            if not self._publish(batch_id):
+            if not self._publish(
+                f"_batch_{batch_id}.done", {"batch_id": batch_id, "dir": dname}
+            ):
                 # a concurrent writer committed this batch first — its
                 # result is authoritative (ours is byte-equivalent by
-                # determinism but must not double-publish)
+                # determinism but must not double-publish); discard
+                # only OUR dir and replay from the winner's
+                shutil.rmtree(ddir, ignore_errors=True)
                 return self.observe(new_docs, batch_id)
             return survivors
 
@@ -868,31 +903,39 @@ class IncrementalDeduper:
         prev = self._latest_base()
         if prev == upto:
             return upto
+        import glob
+        import uuid
+
         bands, sh = self._disk_state_tagged(spark, completed)
-        bands.repartition(n_files).write.mode("overwrite").parquet(
-            f"{self.state_dir}/base={upto}/bands"
-        )
-        sh.repartition(n_files).write.mode("overwrite").parquet(
-            f"{self.state_dir}/base={upto}/shingles"
-        )
-        marker = os.path.join(self.state_dir, f"_base_{upto}.done")
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(upto))
-        try:
-            os.link(tmp, marker)
-        except FileExistsError:
-            # a concurrent compactor published the same base first —
-            # identical content by determinism; let its flags govern
+        dname = f"base={upto}.{uuid.uuid4().hex[:8]}"
+        ddir = os.path.join(self.state_dir, dname)
+        bands.repartition(n_files).write.mode("overwrite").parquet(f"{ddir}/bands")
+        sh.repartition(n_files).write.mode("overwrite").parquet(f"{ddir}/shingles")
+        if not self._publish(f"_base_{upto}.done", {"base": upto, "dir": dname}):
+            # a concurrent compactor published this base first —
+            # identical content by determinism; discard only OUR dir
+            # and let its flags govern
+            shutil.rmtree(ddir, ignore_errors=True)
             return upto
-        finally:
-            os.unlink(tmp)
         if remove_compacted:
             for i in completed:
-                shutil.rmtree(f"{self.state_dir}/batch={i}", ignore_errors=True)
+                # the authoritative dir plus any crash-orphaned
+                # unique-named dirs for the same batch id
+                for d in glob.glob(
+                    os.path.join(self.state_dir, f"batch={i}")
+                ) + glob.glob(os.path.join(self.state_dir, f"batch={i}.*")):
+                    shutil.rmtree(d, ignore_errors=True)
             if prev is not None:
-                shutil.rmtree(f"{self.state_dir}/base={prev}", ignore_errors=True)
-                os.unlink(os.path.join(self.state_dir, f"_base_{prev}.done"))
+                for d in glob.glob(
+                    os.path.join(self.state_dir, f"base={prev}")
+                ) + glob.glob(os.path.join(self.state_dir, f"base={prev}.*")):
+                    shutil.rmtree(d, ignore_errors=True)
+                # missing_ok: a crashed predecessor may have removed the
+                # dir but not the marker (or vice versa) — both orders
+                # resolve, _latest_base always takes the max
+                import pathlib
+
+                pathlib.Path(self.state_dir, f"_base_{prev}.done").unlink(missing_ok=True)
         return upto
 
     def retained_ids(self, spark=None) -> DataFrame | None:
@@ -907,4 +950,8 @@ class IncrementalDeduper:
     @property
     def retained(self) -> DataFrame | None:
         """In-memory-mode alias of retained_ids()."""
+        if self.state_dir is not None:
+            raise ValueError(
+                "state_dir mode needs a session handle: use retained_ids(spark)"
+            )
         return self.retained_ids()

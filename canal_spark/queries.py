@@ -988,14 +988,12 @@ def dedup_incremental(spark, sf):
     return outs[0].unionByName(outs[1]).unionByName(outs[2])
 
 
-@q("dedup_incremental_resume", INCR_DEDUP_SQL)
-def dedup_incremental_resume(spark, sf):
-    """dedup_incremental through the PERSISTENT state path with a cold
-    restart between every batch: a FRESH IncrementalDeduper instance
-    per batch over one state_dir, so batch 1 and 2 dedup against state
-    recovered from disk (band index + shingle sets, completion-marker
-    protocol), not from driver memory. Same oracle as
-    dedup_incremental — resume must be semantically invisible."""
+def _incremental_persistent_replay(spark, sf, compact: bool):
+    """Shared body of the two persistent-state incremental-dedup
+    queries: three cold restarts (a FRESH IncrementalDeduper instance
+    per batch over one state_dir), optionally folding the survivor log
+    with `compact_state` between batches. Survivor frames are eagerly
+    checkpointed, so the state dir can go before the caller collects."""
     import shutil
     import tempfile
 
@@ -1011,11 +1009,21 @@ def dedup_incremental_resume(spark, sf):
             outs.append(
                 surv.select("doc_id", F.lit(t).cast("int").alias("admitted_batch"))
             )
-        # survivor frames are eagerly checkpointed, so the state dir
-        # can go before the caller collects
+            if compact:
+                dd.compact_state(spark)
         return outs[0].unionByName(outs[1]).unionByName(outs[2])
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@q("dedup_incremental_resume", INCR_DEDUP_SQL)
+def dedup_incremental_resume(spark, sf):
+    """dedup_incremental through the PERSISTENT state path with a cold
+    restart between every batch, so batch 1 and 2 dedup against state
+    recovered from disk (band index + shingle sets, completion-marker
+    protocol), not from driver memory. Same oracle as
+    dedup_incremental — resume must be semantically invisible."""
+    return _incremental_persistent_replay(spark, sf, compact=False)
 
 
 @q("dedup_incremental_compacted", INCR_DEDUP_SQL)
@@ -1026,25 +1034,7 @@ def dedup_incremental_compacted(spark, sf):
     before the next batch probes it. Same oracle — compaction of the
     dedup state must be semantically invisible, exactly as the table
     layer's compact_files is to readers."""
-    import shutil
-    import tempfile
-
-    docs = _with_planted_dupes(load(spark, sf, "documents")).select("doc_id", "text")
-    d = tempfile.mkdtemp(prefix="incr_dedup_state_")
-    try:
-        outs = []
-        for t in range(3):
-            dd = DD.IncrementalDeduper(
-                min_jaccard=0.8, num_perm=16, bands=8, state_dir=d
-            )
-            surv = dd.observe(docs.filter(F.col("doc_id") % 3 == t), batch_id=t)
-            outs.append(
-                surv.select("doc_id", F.lit(t).cast("int").alias("admitted_batch"))
-            )
-            dd.compact_state(spark)
-        return outs[0].unionByName(outs[1]).unionByName(outs[2])
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    return _incremental_persistent_replay(spark, sf, compact=True)
 
 
 RECALL_ORACLE = (

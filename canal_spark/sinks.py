@@ -151,11 +151,14 @@ class DuckDBSink:
 
     Delivery is EXACTLY-ONCE, not just idempotent-overwrite: one
     transaction per epoch covers (a) an applied-epochs marker row, (b)
-    DELETE of tombstoned keys, (c) upsert of the rest guarded by
-    `excluded._seq >= target._seq` (LWW at the store, so a replayed or
-    reordered delivery can never roll a row backward). A re-apply of
-    an already-marked epoch is a no-op before any data touch; a crash
-    mid-apply rolls the whole transaction back.
+    LWW-guarded DELETE of tombstoned keys (an old delete cannot kill a
+    newer row), (c) tombstone retention in `__canal_tombstones` so an
+    older reordered upsert cannot resurrect a deleted key, and (d)
+    upsert of the rest guarded by `incoming._seq >= stored._seq` — so
+    a replayed or reordered delivery can never roll a row backward in
+    ANY direction. A re-apply of an already-marked epoch is a no-op
+    before any data touch; a crash mid-apply rolls the whole
+    transaction back.
 
     Scale shape, honestly: DuckDB is single-writer, so the mapped
     delta funnels through the driver — as ARROW BATCHES
@@ -169,6 +172,7 @@ class DuckDBSink:
     keep `key_col`, `op`, and `_seq` — validated at apply time."""
 
     EPOCHS_TABLE = "__canal_epochs"
+    TOMBSTONES_TABLE = "__canal_tombstones"
 
     def __init__(
         self,
@@ -223,10 +227,43 @@ class DuckDBSink:
             # sufficient: the delta is LWW-collapsed to one row per
             # key, and the guarded DELETE + NOT EXISTS insert can
             # never leave two rows for a key.
-            k, t = self.key_col, self.table
+            k, t, tb = self.key_col, self.table, self.TOMBSTONES_TABLE
             con.execute(
-                f'DELETE FROM "{t}" WHERE "{k}" IN '
-                f"(SELECT \"{k}\" FROM __delta WHERE op = 'DELETE')"
+                f'CREATE TABLE IF NOT EXISTS "{tb}" AS '
+                f'SELECT "{k}", "_seq" FROM __delta LIMIT 0'
+            )
+            # tombstones, LWW-guarded: an incoming DELETE removes only
+            # rows it supersedes (an old reordered delete can never
+            # kill a newer row), and the winning delete's _seq is
+            # retained in the tombstone table so a later-replayed OLDER
+            # upsert for the key cannot resurrect it
+            con.execute(
+                f'DELETE FROM "{t}" USING __delta d '
+                f'WHERE "{t}"."{k}" = d."{k}" '
+                "AND d.op = 'DELETE' AND d.\"_seq\" >= "
+                f'"{t}"."_seq"'
+            )
+            con.execute(
+                f'DELETE FROM "{tb}" USING __delta d '
+                f'WHERE "{tb}"."{k}" = d."{k}" '
+                "AND d.op = 'DELETE' AND d.\"_seq\" >= "
+                f'"{tb}"."_seq"'
+            )
+            con.execute(
+                f'INSERT INTO "{tb}" ("{k}", "_seq") '
+                f"SELECT \"{k}\", \"_seq\" FROM __delta d WHERE d.op = 'DELETE' "
+                f'AND NOT EXISTS (SELECT 1 FROM "{tb}" x '
+                f'WHERE x."{k}" = d."{k}")'
+            )
+            # an incoming upsert newer than the tombstone resurrects
+            # the key — clear the tombstone so its insert lands below;
+            # tombstones that survive this are strictly newer than the
+            # incoming row and veto the insert
+            con.execute(
+                f'DELETE FROM "{tb}" USING __delta d '
+                f'WHERE "{tb}"."{k}" = d."{k}" '
+                "AND d.op <> 'DELETE' AND d.\"_seq\" >= "
+                f'"{tb}"."_seq"'
             )
             # MERGE with the LWW guard: drop existing rows a
             # newer-or-equal incoming version supersedes, then insert
@@ -244,6 +281,8 @@ class DuckDBSink:
                 f'INSERT INTO "{t}" ({collist}) '
                 f"SELECT {collist} FROM __delta d WHERE d.op <> 'DELETE' "
                 f'AND NOT EXISTS (SELECT 1 FROM "{t}" x '
+                f'WHERE x."{k}" = d."{k}") '
+                f'AND NOT EXISTS (SELECT 1 FROM "{tb}" x '
                 f'WHERE x."{k}" = d."{k}")'
             )
             con.execute(

@@ -10,14 +10,22 @@ from canal_spark.engine import CdcEngine
 from canal_spark.plans.table import SnapshotTable
 
 
-def _n_persisted(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persisted_ids(spark) -> set[int]:
+    # ids, not a count: earlier tests' localCheckpoint frames linger
+    # until Python GC + ContextCleaner release them asynchronously, so
+    # a shared-session COUNT baseline can shrink mid-test; the leak
+    # property under test is "no NEW persisted RDD survives"
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    out = set()
+    while it.hasNext():
+        out.add(it.next())
+    return out
 
 
 def test_execute_failure_unpersists_all_prepared_epochs(
     spark, changelog_dir, tmp_path, monkeypatch
 ):
-    before = _n_persisted(spark)
+    before = _persisted_ids(spark)
 
     def boom(*a, **k):
         raise RuntimeError("injected write failure")
@@ -29,7 +37,8 @@ def test_execute_failure_unpersists_all_prepared_epochs(
         eng.run_to_completion()
     # both the failing epoch's winners and the concurrently-prepared
     # next epoch's winners must be unpersisted
-    assert _n_persisted(spark) == before
+    leaked = _persisted_ids(spark) - before
+    assert not leaked, f"engine leaked persisted RDDs: {sorted(leaked)}"
     # table untouched: resume works with the real merge
     monkeypatch.undo()
     eng2 = CdcEngine(spark, changelog_dir, table, lsn_budget=10**9)

@@ -145,8 +145,10 @@ def test_compact_state_is_semantically_invisible(spark, tmp_path):
     assert _ids(dd.observe(_df(spark, [(9, T)]), batch_id=0)) == {9}
     assert _ids(dd.observe(_df(spark, [(11, U)]), batch_id=1)) == {11}
     assert dd.compact_state(spark) == 1
-    assert not os.path.isdir(os.path.join(d, "batch=0"))
-    assert os.path.isdir(os.path.join(d, "base=1"))
+    import glob
+
+    assert not glob.glob(os.path.join(d, "batch=0*"))
+    assert os.path.isdir(dd._base_dir(1))
     dd2 = IncrementalDeduper(state_dir=d)
     # 1 dups retained 9 (cross-base probe), 2 dups retained 11, 3 is new
     got = _ids(dd2.observe(_df(spark, [(1, T), (2, U), (3, "gamma " * 20)]), batch_id=2))
@@ -173,7 +175,9 @@ def test_compact_state_preserves_batch_replay_and_order_guard(spark, tmp_path):
         dd.observe(_df(spark, [(8, U)]), batch_id=1)
     dd.observe(_df(spark, [(12, "delta " * 20)]), batch_id=3)
     assert dd.compact_state(spark) == 3
-    assert not os.path.isdir(os.path.join(d, "base=2"))
+    import glob
+
+    assert not glob.glob(os.path.join(d, "base=2*"))
     assert _ids(dd.observe(_df(spark, [(3, T), (7, T)]), batch_id=0)) == {3}
     assert _ids(dd.retained_ids(spark)) == {3, 5, 12}
 
@@ -196,6 +200,40 @@ def test_compact_crash_before_marker_is_invisible(spark, tmp_path):
     assert dd2.compact_state(spark) == 2
     dd3 = IncrementalDeduper(state_dir=d)
     assert _ids(dd3.retained_ids(spark)) == {9, 11}
+
+
+def test_lost_publish_race_discards_own_dir_only(spark, tmp_path, monkeypatch):
+    """A writer that loses the marker election must discard ONLY its
+    own unique dir and replay the winner's committed result — the
+    winner's published files are never overwritten or torn."""
+    import os
+
+    d = str(tmp_path / "st")
+    dd_a = IncrementalDeduper(state_dir=d)
+    dd_a.observe(_df(spark, [(9, T)]), batch_id=0)
+
+    dd_b = IncrementalDeduper(state_dir=d)
+    real_publish = dd_b._publish
+    raced = {}
+
+    def contended_publish(marker_name, payload):
+        # a concurrent writer commits the same batch between our data
+        # write and our marker link
+        winner = IncrementalDeduper(state_dir=d)
+        assert _ids(winner.observe(_df(spark, [(4, U)]), batch_id=1)) == {4}
+        raced["loser_dir"] = os.path.join(d, payload["dir"])
+        raced["winner_dir"] = winner._batch_dir(1)
+        won = real_publish(marker_name, payload)
+        assert not won  # the election must have been lost
+        return won
+
+    monkeypatch.setattr(dd_b, "_publish", contended_publish)
+    assert _ids(dd_b.observe(_df(spark, [(4, U)]), batch_id=1)) == {4}
+    assert not os.path.isdir(raced["loser_dir"])  # ours discarded
+    assert os.path.isdir(raced["winner_dir"])  # winner's intact
+    assert raced["loser_dir"] != raced["winner_dir"]
+    dd2 = IncrementalDeduper(state_dir=d)
+    assert _ids(dd2.retained_ids(spark)) == {9, 4}
 
 
 def test_cdc_epochs_feed_incremental_dedup(spark, changelog_dir, tmp_path):

@@ -266,6 +266,40 @@ def test_duckdb_sink_epoch_reapply_and_lww_guard(spark, tmp_path):
     con.close()
 
 
+def test_duckdb_sink_reordered_deletes_are_lww_guarded(spark, tmp_path):
+    """Out-of-order delivery in BOTH directions: an old delete must
+    not kill a newer row, and an old upsert must not resurrect a
+    newer delete (tombstone retention)."""
+    import duckdb
+
+    from canal_spark.sinks import DuckDBSink
+
+    db = str(tmp_path / "sink.duckdb")
+    sink = DuckDBSink(db)
+    sink.apply(spark, _sink_delta(spark, [("a", "INSERT", [1, 2], 2, "s", 200)]), 1)
+    # a reordered OLDER delete must not remove the newer row
+    sink.apply(spark, _sink_delta(spark, [("a", "DELETE", None, None, "s", 100)]), 2)
+    con = duckdb.connect(db)
+    assert con.execute("SELECT _seq FROM target").fetchall() == [(200,)]
+    con.close()
+    # a genuinely newer delete wins and leaves a tombstone...
+    sink.apply(spark, _sink_delta(spark, [("a", "DELETE", None, None, "s", 300)]), 3)
+    # ...so a reordered OLDER upsert cannot resurrect the key
+    sink.apply(spark, _sink_delta(spark, [("a", "UPDATE", [9], 1, "s", 250)]), 4)
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM target").fetchone()[0] == 0
+    assert con.execute(
+        "SELECT _seq FROM __canal_tombstones"
+    ).fetchall() == [(300,)]
+    con.close()
+    # a genuinely newer insert resurrects the key and clears the stone
+    sink.apply(spark, _sink_delta(spark, [("a", "INSERT", [7], 1, "s", 400)]), 5)
+    con = duckdb.connect(db)
+    assert con.execute("SELECT _seq FROM target").fetchall() == [(400,)]
+    assert con.execute("SELECT COUNT(*) FROM __canal_tombstones").fetchone()[0] == 0
+    con.close()
+
+
 def test_duckdb_sink_mapping_must_keep_protocol_cols(spark, tmp_path):
     import pytest
 
