@@ -81,6 +81,7 @@ _SAMPLE_FIRST = [
     "session_window_counts",
     "windowed_event_counts",
     # new or contract-changed in r5
+    "stream_replay_parity",
     "dedup_incremental",
     "dedup_incremental_resume",
     "dedup_incremental_compacted",

@@ -630,81 +630,85 @@ class CdcEngine:
 
     # -------------------------------------------------------- evolution
     def apply_schema_update(self, kind: str, payload: dict, meta: dict | None = None) -> int:
-        """Apply one DDL event as its OWN commit epoch (ddlIsolation —
-        canal isolates DDL from surrounding DML batches). Metadata-only:
-        no data files are rewritten (field-id mapping at read time).
+        return apply_schema_update(self.table, kind, payload, meta)
 
-        kinds: ADD_COLUMN {name,type} | RENAME_COLUMN {from,to} |
-               WIDEN_TYPE {name,to}  (SURVEY.md §2 X3 / FIXTURES.md A3)
 
-        Optimistic like every other commit path: a concurrent
-        maintenance commit can steal the epoch number, in which case
-        commit() returns False and the update is recomputed on the
-        fresh snapshot and retried — silently dropping a DDL is the
-        one failure a schema log cannot absorb.
-        """
-        for _attempt in range(5):
-            epoch = self._try_schema_update(kind, payload, meta)
-            if epoch is not None:
-                return epoch
-        raise RuntimeError(
-            f"apply_schema_update({kind}): lost the commit race 5 times"
-        )
+def apply_schema_update(table, kind: str, payload: dict, meta: dict | None = None) -> int:
+    """Apply one DDL event as its OWN commit epoch (ddlIsolation —
+    canal isolates DDL from surrounding DML batches). Metadata-only:
+    no data files are rewritten (field-id mapping at read time).
+    Module-level: shared by the batch engine and the streaming
+    front-end's in-stream DDL path.
 
-    def _try_schema_update(
-        self, kind: str, payload: dict, meta: dict | None
-    ) -> int | None:
-        snap = self.table.snapshot()
-        fields = [dict(f) for f in snap["schemas"][str(snap["schema_ver"])]]
-        if kind == "ADD_COLUMN":
-            if any(f["name"] == payload["name"] for f in fields):
-                raise ValueError(f"ADD_COLUMN: column {payload['name']!r} already exists")
-            nid = max(f["id"] for f in fields) + 1
-            fields.append({"id": nid, "name": payload["name"], "type": payload["type"]})
-        elif kind == "RENAME_COLUMN":
-            # the key column's name is load-bearing everywhere (bucket
-            # routing, merge alignment, manifest bounds, key-range
-            # reads): renaming it would silently desynchronize all of
-            # them — reject, like Iceberg rejects dropping a partition
-            # source column
-            if payload["from"] == snap["key_col"]:
-                raise ValueError(
-                    f"RENAME_COLUMN: {payload['from']!r} is the table key "
-                    "column and cannot be renamed"
-                )
-            if any(f["name"] == payload["to"] for f in fields):
-                raise ValueError(
-                    f"RENAME_COLUMN: target name {payload['to']!r} already exists"
-                )
-            _field(fields, payload["from"])["name"] = payload["to"]
-        elif kind == "WIDEN_TYPE":
-            # widening the key column changes xxhash64's input type
-            # (hashInt vs hashLong code paths), so bucket_expr would
-            # route the same key VALUE to a different bucket post-DDL:
-            # updates land in new buckets, LWW never pairs them with
-            # the old rows, stale duplicates survive. Same
-            # load-bearing-key hazard as RENAME above — reject.
-            if payload["name"] == snap["key_col"]:
-                raise ValueError(
-                    f"WIDEN_TYPE: {payload['name']!r} is the table key "
-                    "column; widening it changes hash bucket routing "
-                    "and cannot be applied"
-                )
-            fld = _field(fields, payload["name"])
-            _check_widening(fld["type"], payload["to"])
-            fld["type"] = payload["to"]
-        else:
-            raise ValueError(f"unknown DDL kind: {kind}")
-        epoch = (self.table.current_epoch() or 0) + 1
-        committed = self.table.commit(
-            epoch,
-            rewritten={},
-            checkpoints={},
-            lineage=[],
-            schema_update={"ver": snap["schema_ver"] + 1, "fields": fields},
-            meta=meta,
-        )
-        return epoch if committed else None
+    kinds: ADD_COLUMN {name,type} | RENAME_COLUMN {from,to} |
+           WIDEN_TYPE {name,to}  (SURVEY.md §2 X3 / FIXTURES.md A3)
+
+    Optimistic like every other commit path: a concurrent maintenance
+    commit can steal the epoch number, in which case commit() returns
+    False and the update is recomputed on the fresh snapshot and
+    retried — silently dropping a DDL is the one failure a schema log
+    cannot absorb."""
+    for _attempt in range(5):
+        epoch = _try_schema_update(table, kind, payload, meta)
+        if epoch is not None:
+            return epoch
+    raise RuntimeError(f"apply_schema_update({kind}): lost the commit race 5 times")
+
+
+def _try_schema_update(
+    table, kind: str, payload: dict, meta: dict | None
+) -> int | None:
+    snap = table.snapshot()
+    fields = [dict(f) for f in snap["schemas"][str(snap["schema_ver"])]]
+    if kind == "ADD_COLUMN":
+        if any(f["name"] == payload["name"] for f in fields):
+            raise ValueError(f"ADD_COLUMN: column {payload['name']!r} already exists")
+        nid = max(f["id"] for f in fields) + 1
+        fields.append({"id": nid, "name": payload["name"], "type": payload["type"]})
+    elif kind == "RENAME_COLUMN":
+        # the key column's name is load-bearing everywhere (bucket
+        # routing, merge alignment, manifest bounds, key-range
+        # reads): renaming it would silently desynchronize all of
+        # them — reject, like Iceberg rejects dropping a partition
+        # source column
+        if payload["from"] == snap["key_col"]:
+            raise ValueError(
+                f"RENAME_COLUMN: {payload['from']!r} is the table key "
+                "column and cannot be renamed"
+            )
+        if any(f["name"] == payload["to"] for f in fields):
+            raise ValueError(
+                f"RENAME_COLUMN: target name {payload['to']!r} already exists"
+            )
+        _field(fields, payload["from"])["name"] = payload["to"]
+    elif kind == "WIDEN_TYPE":
+        # widening the key column changes xxhash64's input type
+        # (hashInt vs hashLong code paths), so bucket_expr would
+        # route the same key VALUE to a different bucket post-DDL:
+        # updates land in new buckets, LWW never pairs them with
+        # the old rows, stale duplicates survive. Same
+        # load-bearing-key hazard as RENAME above — reject.
+        if payload["name"] == snap["key_col"]:
+            raise ValueError(
+                f"WIDEN_TYPE: {payload['name']!r} is the table key "
+                "column; widening it changes hash bucket routing "
+                "and cannot be applied"
+            )
+        fld = _field(fields, payload["name"])
+        _check_widening(fld["type"], payload["to"])
+        fld["type"] = payload["to"]
+    else:
+        raise ValueError(f"unknown DDL kind: {kind}")
+    epoch = (table.current_epoch() or 0) + 1
+    committed = table.commit(
+        epoch,
+        rewritten={},
+        checkpoints={},
+        lineage=[],
+        schema_update={"ver": snap["schema_ver"] + 1, "fields": fields},
+        meta=meta,
+    )
+    return epoch if committed else None
 
 
 _WIDENINGS = {

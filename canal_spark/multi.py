@@ -177,18 +177,7 @@ class MultiTableEngine:
 
     # ------------------------------------------------------------ plan
     def _recorded_wms(self, g: int) -> dict[int, int] | None:
-        """If any member table already committed group epoch `g` (crash
-        between member commits and the marker), its recorded slice
-        watermarks are THE slice for the roll-forward — never a
-        re-planned one, so a changed lsn_budget between runs cannot
-        desynchronize members."""
-        for route in self.routes:
-            if route.table.current_epoch() is None:
-                continue
-            meta = route.table.snapshot().get("meta", {})
-            if meta.get("group_epoch", -1) >= g:
-                return {int(k): int(v) for k, v in meta["group_wms"].items()}
-        return None
+        return recorded_group_wms(self.routes, g)
 
     def _plan_slice(self, ckpts: dict[int, int]):
         """Shared-cursor slice planning, identical growth rule to
@@ -273,114 +262,154 @@ class MultiTableEngine:
         return GroupEpochResult(g, n_events, table_epochs, new_ckpts, rolled_forward)
 
     def _apply_route(self, route: TableRoute, routed, g: int, wms: dict[int, int]):
-        """LWW -> merge -> commit for one route, carrying the group
-        membership in the table's own atomic commit. Same winner-cache
-        strategy as CdcEngine._prepare: one aggregation job yields the
-        exact key cardinality (broadcast decision) AND the affected
-        buckets, and the cached frame is reused by the LWW winner join
-        and the merge's anti/semi joins (ReuseExchange)."""
-        snap = route.table.snapshot()
-        key = snap["key_col"]
-        winners = (
-            routed.groupBy(key)
-            .agg(F.max(_packed_order(("lsn", "source_partition"))).alias("_ord"))
-            .persist()
+        return apply_route(
+            self.spark,
+            route,
+            routed,
+            g,
+            wms,
+            write_mode=self.write_mode,
+            broadcast_threshold_rows=self.broadcast_threshold_rows,
         )
-        try:
-            bucket_counts = (
-                winners.groupBy(
-                    bucket_expr(key, snap["n_buckets"]).alias("bucket")
-                )
-                .count()
-                .collect()
-            )
-            n_keys = sum(int(r["count"]) for r in bucket_counts)
-            affected = sorted(int(r["bucket"]) for r in bucket_counts)
-            small = n_keys <= self.broadcast_threshold_rows
-            # per-route, per-partition lineage (A4) — narrow scan of the
-            # routed slice, metadata-sized result
-            lineage = [
-                {
-                    "epoch": None,  # patched below with the table epoch
-                    "source_partition": int(r["source_partition"]),
-                    "n_events": int(r["n_events"]),
-                    "n_upserts": int(r["n_upserts"] or 0),
-                    "n_deletes": int(r["n_deletes"] or 0),
-                    "sum_n_tok": 0,
-                    "min_lsn": int(r["min_lsn"]),
-                    "max_lsn": int(r["max_lsn"]),
-                    "max_ts": 0,
-                    "wall_ms": 0,
-                }
-                for r in (
-                    routed.groupBy("source_partition")
-                    .agg(
-                        F.count("*").alias("n_events"),
-                        F.sum((F.col("op") != "DELETE").cast("long")).alias("n_upserts"),
-                        F.sum((F.col("op") == "DELETE").cast("long")).alias("n_deletes"),
-                        F.min("lsn").alias("min_lsn"),
-                        F.max("lsn").alias("max_lsn"),
-                    )
-                    .collect()
-                )
-            ]
-            total_events = sum(li["n_events"] for li in lineage)
-            meta = {
-                "group_epoch": g,
-                "group_wms": {str(p): int(v) for p, v in wms.items()},
-            }
-            for _attempt in range(5):
-                t_epoch = (route.table.current_epoch() or 0) + 1
-                if affected:
-                    delta = lww_collapse(
-                        routed,
-                        key=key,
-                        payload_cols=PAYLOAD_COLS,
-                        broadcast_winners=small,
-                        with_seq=True,
-                        winners=winners,
-                    )
-                    if self.write_mode == "mor":
-                        rewritten = append_epoch(
-                            self.spark, route.table, delta, t_epoch, affected=affected
-                        )
-                    else:
-                        rewritten = merge_epoch(
-                            self.spark,
-                            route.table,
-                            delta,
-                            t_epoch,
-                            broadcast_delta=small,
-                            key_frame=winners,
-                            affected=affected,
-                        )
-                else:
-                    # no events for this table this epoch: metadata-only
-                    # commit still advances its cursor + group membership
-                    rewritten = {}
-                for li in lineage:
-                    li["epoch"] = t_epoch
-                if route.table.commit(
-                    t_epoch,
-                    rewritten,
-                    wms,
-                    lineage,
-                    meta=meta,
-                    append=(self.write_mode == "mor" and bool(affected)),
-                ):
-                    return t_epoch, total_events
-                # lost the epoch number to concurrent maintenance on
-                # this table: nothing landed; recompute the number and
-                # rewrite (the staged files of the lost attempt are
-                # unreferenced orphans)
-            raise RuntimeError(
-                f"route {route.name!r}: lost the commit race 5 times"
-            )
-        finally:
-            winners.unpersist()
 
     def run_to_completion(self, max_epochs: int = 10_000) -> int:
         for _ in range(max_epochs):
             if self.run_epoch() is None:
                 break
         return self.group.current_epoch() or 0
+
+
+def recorded_group_wms(routes: list[TableRoute], g: int) -> dict[int, int] | None:
+    """If any member table already committed group epoch `g` (crash
+    between member commits and the marker), its recorded slice
+    watermarks are THE slice for the roll-forward — never a re-planned
+    one, so a changed lsn_budget (or a redelivered micro-batch in the
+    streaming front-end) cannot desynchronize members."""
+    for route in routes:
+        if route.table.current_epoch() is None:
+            continue
+        meta = route.table.snapshot().get("meta", {})
+        if meta.get("group_epoch", -1) >= g:
+            return {int(k): int(v) for k, v in meta["group_wms"].items()}
+    return None
+
+
+def apply_route(
+    spark: SparkSession,
+    route: TableRoute,
+    routed,
+    g: int,
+    wms: dict[int, int],
+    *,
+    write_mode: str = "cow",
+    broadcast_threshold_rows: int = 4_000_000,
+    meta_extra: dict | None = None,
+):
+    """LWW -> merge -> commit for one route, carrying the group
+    membership in the table's own atomic commit. Shared by the batch
+    MultiTableEngine and the streaming front-end (StreamingMultiUpsert)
+    — the protocol is identical, only the slice source differs. Same
+    winner-cache strategy as CdcEngine._prepare: one aggregation job
+    yields the exact key cardinality (broadcast decision) AND the
+    affected buckets, and the cached frame is reused by the LWW winner
+    join and the merge's anti/semi joins (ReuseExchange)."""
+    snap = route.table.snapshot()
+    key = snap["key_col"]
+    winners = (
+        routed.groupBy(key)
+        .agg(F.max(_packed_order(("lsn", "source_partition"))).alias("_ord"))
+        .persist()
+    )
+    try:
+        bucket_counts = (
+            winners.groupBy(
+                bucket_expr(key, snap["n_buckets"]).alias("bucket")
+            )
+            .count()
+            .collect()
+        )
+        n_keys = sum(int(r["count"]) for r in bucket_counts)
+        affected = sorted(int(r["bucket"]) for r in bucket_counts)
+        small = n_keys <= broadcast_threshold_rows
+        # per-route, per-partition lineage (A4) — narrow scan of the
+        # routed slice, metadata-sized result
+        lineage = [
+            {
+                "epoch": None,  # patched below with the table epoch
+                "source_partition": int(r["source_partition"]),
+                "n_events": int(r["n_events"]),
+                "n_upserts": int(r["n_upserts"] or 0),
+                "n_deletes": int(r["n_deletes"] or 0),
+                "sum_n_tok": 0,
+                "min_lsn": int(r["min_lsn"]),
+                "max_lsn": int(r["max_lsn"]),
+                "max_ts": 0,
+                "wall_ms": 0,
+            }
+            for r in (
+                routed.groupBy("source_partition")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum((F.col("op") != "DELETE").cast("long")).alias("n_upserts"),
+                    F.sum((F.col("op") == "DELETE").cast("long")).alias("n_deletes"),
+                    F.min("lsn").alias("min_lsn"),
+                    F.max("lsn").alias("max_lsn"),
+                )
+                .collect()
+            )
+        ]
+        total_events = sum(li["n_events"] for li in lineage)
+        meta = {
+            "group_epoch": g,
+            "group_wms": {str(p): int(v) for p, v in wms.items()},
+            **(meta_extra or {}),
+        }
+        for _attempt in range(5):
+            t_epoch = (route.table.current_epoch() or 0) + 1
+            if affected:
+                delta = lww_collapse(
+                    routed,
+                    key=key,
+                    payload_cols=PAYLOAD_COLS,
+                    broadcast_winners=small,
+                    with_seq=True,
+                    winners=winners,
+                )
+                if write_mode == "mor":
+                    rewritten = append_epoch(
+                        spark, route.table, delta, t_epoch, affected=affected
+                    )
+                else:
+                    rewritten = merge_epoch(
+                        spark,
+                        route.table,
+                        delta,
+                        t_epoch,
+                        broadcast_delta=small,
+                        key_frame=winners,
+                        affected=affected,
+                    )
+            else:
+                # no events for this table this epoch: metadata-only
+                # commit still advances its cursor + group membership
+                rewritten = {}
+            for li in lineage:
+                li["epoch"] = t_epoch
+            if route.table.commit(
+                t_epoch,
+                rewritten,
+                wms,
+                lineage,
+                meta=meta,
+                append=(write_mode == "mor" and bool(affected)),
+            ):
+                return t_epoch, total_events
+            # lost the epoch number to concurrent maintenance on
+            # this table: nothing landed; recompute the number and
+            # rewrite (the staged files of the lost attempt are
+            # unreferenced orphans)
+        raise RuntimeError(
+            f"route {route.name!r}: lost the commit race 5 times"
+        )
+    finally:
+        winners.unpersist()

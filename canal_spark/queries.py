@@ -658,6 +658,62 @@ def exactly_once_reapply_noop(spark, sf):
     )
 
 
+@q(
+    "stream_replay_parity",
+    "SELECT TRUE AS stream_matches_batch, TRUE AS ddl_applied, "
+    "TRUE AS redelivery_noop, TRUE AS has_rows",
+)
+def stream_replay_parity(spark, sf):
+    """Structured-Streaming front-end end-to-end (T1–T4 + in-stream
+    DDL): the same changelog replayed via foreachBatch micro-batches
+    must reach the batch engine's exact final state, the side-stream
+    DDL must land in position (column exists post-stream in BOTH), and
+    a redelivered micro-batch must be a no-op. Protocol outcome as
+    boolean invariants (the r4 pattern); full coverage in
+    tests/test_streaming*.py."""
+    import shutil
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+        generate_ddl_events,
+    )
+    from canal_spark.streaming.stream import StreamingUpsert
+
+    tmp = tempfile.mkdtemp(prefix="canal_st_")
+    log = generate_changelog(
+        f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+    )
+    ddl = generate_ddl_events(
+        f"{tmp}/ddl",
+        [{"lsn": 0, "source_partition": 1, "kind": "ADD_COLUMN",
+          "payload": {"name": "lang", "type": "string"}}],
+    )
+    bt = SnapshotTable.create(f"{tmp}/batch", n_buckets=4)
+    CdcEngine(spark, log, bt, lsn_budget=500, ddl_events_path=ddl).run_to_completion()
+    st = SnapshotTable.create(f"{tmp}/stream", n_buckets=4)
+    su = StreamingUpsert(spark, st, ddl_events_path=ddl)
+    su.start(log, f"{tmp}/ckpt", max_files_per_trigger=1).awaitTermination(300)
+    cols = ["doc_id", "tokens", "n_tok", "source", "lang"]
+    a, b = bt.read(spark).select(cols), st.read(spark).select(cols)
+    matches = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    ddl_ok = (
+        st.snapshot()["schema_ver"] == bt.snapshot()["schema_ver"] == 2
+        and "lang" in b.columns
+    )
+    redeliver = su.apply_batch(spark.read.parquet(log), batch_id=0) is False
+    n = b.count()
+    shutil.rmtree(tmp, ignore_errors=True)  # invariants materialized above
+    return spark.createDataFrame(
+        [(bool(matches), bool(ddl_ok), bool(redeliver), n > 0)],
+        "stream_matches_batch boolean, ddl_applied boolean, "
+        "redelivery_noop boolean, has_rows boolean",
+    )
+
+
 # ======================================================================
 # training-data ops: dedup / similarity / text
 # ======================================================================

@@ -46,6 +46,7 @@ class StreamingUpsert:
         xa_mode: bool = False,
         sinks: tuple = (),
         write_mode: str = "cow",
+        ddl_events_path: str | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -60,21 +61,121 @@ class StreamingUpsert:
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         self.write_mode = write_mode
+        #: same A3 DDL side-stream contract as CdcEngine: schema updates
+        #: applied IN POSITION between micro-batch events (ddlIsolation)
+        self.ddl_events_path = ddl_events_path
+        self._ddl_cache: list[dict] | None = None
+
+    # ------------------------------------------------------- ddl stream
+    def _pending_ddls(self) -> list[dict]:
+        """DDL events past the durable ddl watermark, in global apply
+        order — same rule as CdcEngine._pending_ddls."""
+        if not self.ddl_events_path:
+            return []
+        if self._ddl_cache is None:
+            rows = (
+                self.spark.read.parquet(self.ddl_events_path)
+                .select("lsn", "source_partition", "kind", "payload")
+                .collect()
+            )
+            self._ddl_cache = sorted(
+                (
+                    {
+                        "lsn": int(r["lsn"]),
+                        "source_partition": int(r["source_partition"]),
+                        "kind": r["kind"],
+                        "payload": r["payload"],
+                    }
+                    for r in rows
+                ),
+                key=lambda d: (d["lsn"], d["source_partition"]),
+            )
+        wm = self.table.snapshot().get("meta", {}).get("ddl_wm")
+        wm = (int(wm[0]), int(wm[1])) if wm else (-1, -1)
+        return [d for d in self._ddl_cache if (d["lsn"], d["source_partition"]) > wm]
+
+    def _apply_ddl(self, d: dict) -> None:
+        import json as _json
+
+        from canal_spark.engine import apply_schema_update
+
+        payload = _json.loads(d["payload"]) if isinstance(d["payload"], str) else d["payload"]
+        apply_schema_update(
+            self.table,
+            d["kind"],
+            payload,
+            meta={"ddl_wm": [d["lsn"], d["source_partition"]]},
+        )
 
     # ------------------------------------------------------------ batch
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
-        """One micro-batch -> one commit epoch. Idempotent under
-        foreachBatch redelivery. Returns True if a commit happened."""
+        """One micro-batch -> one commit epoch (plus, with a DDL
+        side-stream, any in-position DDL epochs and DML sub-epochs the
+        batch unlocks). Idempotent under foreachBatch redelivery.
+        Returns True if the final batch commit happened.
+
+        In-stream DDL (ddlIsolation, same semantics as the batch
+        engine): a DDL at (lsn L, partition p) applies as its OWN
+        epoch once p's checkpoint covers everything below L; DML at or
+        past a pending DDL position never applies before the DDL — the
+        clamp keeps those events out of the watermark, so they ride
+        the durable pending store across sub-epochs and micro-batches
+        (a stream cannot be re-read; the pending store is the replay
+        buffer). A crash anywhere resolves on redelivery: applied
+        events drop at the offset high-watermark, applied DDLs at the
+        durable ddl watermark. The one undetectable input error is a
+        transaction straddling a DDL position — in batch mode the
+        engine raises (the log is finite); a stream cannot distinguish
+        it from events not yet arrived, so it stays pending."""
         snap = self.table.snapshot()
         last_batch = snap.get("meta", {}).get("stream_batch_id", -1)
         if batch_id <= last_batch:
             return False  # redelivered batch: already committed
 
+        use_batch = True
+        if self.ddl_events_path:
+            while True:
+                ckpts = self.table.checkpoints()
+                pend = self._pending_ddls()
+                if pend and ckpts.get(pend[0]["source_partition"], -1) >= pend[0]["lsn"] - 1:
+                    self._apply_ddl(pend[0])
+                    continue
+                if not pend:
+                    break
+                # DML below the pending DDL positions, as a sub-epoch;
+                # after the first one the batch lives in the pending
+                # store (never union it twice)
+                if not self._apply_dml_epoch(batch_df if use_batch else None, None, pend):
+                    break
+                use_batch = False
+        return self._apply_dml_epoch(
+            batch_df if use_batch else None, batch_id, self._pending_ddls()
+        )
+
+    def _apply_dml_epoch(
+        self,
+        batch_df: DataFrame | None,
+        batch_id: int | None,
+        pending_ddls: list[dict],
+    ) -> bool:
+        """One DML commit epoch from (micro-batch ∪ durable pending),
+        clamped strictly below every pending DDL position.
+        `batch_id=None` marks an unnumbered sub-epoch: it is skipped
+        (no commit) when no partition can progress; the final numbered
+        epoch always commits, recording the stream batch id."""
+        snap = self.table.snapshot()
         epoch = snap["epoch"] + 1
         ckpts = self.table.checkpoints()
 
         pending = self.table.read_pending(self.spark)
-        inp = batch_df.unionByName(pending) if pending is not None else batch_df
+        if batch_df is not None:
+            inp = batch_df.unionByName(pending) if pending is not None else batch_df
+        else:
+            inp = (
+                pending
+                if pending is not None
+                else self.spark.createDataFrame([], CHANGELOG_DDL)
+            )
 
         # offset high-watermark: drop events already applied (stale
         # redelivery across restarts)
@@ -87,8 +188,25 @@ class StreamingUpsert:
                 > F.coalesce(committed_map[F.col("source_partition")], F.lit(-1))
             )
 
-        wms = committed_watermarks(inp, floors=ckpts)
-        complete = tx_barrier(inp, wms)
+        # clamp strictly below every pending DDL position: the clamped
+        # events stay out of the watermark, so they land in the held
+        # set below and replay after the DDL commits
+        clamped = inp
+        if pending_ddls:
+            clamp: dict[int, int] = {}
+            for d in pending_ddls:
+                p = d["source_partition"]
+                clamp[p] = min(clamp.get(p, d["lsn"] - 1), d["lsn"] - 1)
+            clamp_map = F.create_map(*[F.lit(x) for kv in clamp.items() for x in kv])
+            clamped = inp.filter(
+                F.col("lsn")
+                <= F.coalesce(clamp_map[F.col("source_partition")], F.lit(1 << 62))
+            )
+
+        wms = committed_watermarks(clamped, floors=ckpts)
+        if batch_id is None and not any(wms.get(p, -1) > ckpts.get(p, -1) for p in wms):
+            return False  # sub-epoch with nothing applicable: skip
+        complete = tx_barrier(clamped, wms)
         if self.xa_mode:
             from canal_spark.operators.txn import drop_rolled_back
 
@@ -151,7 +269,10 @@ class StreamingUpsert:
             wms,
             lineage,
             pending=pending_files,
-            meta={"stream_batch_id": batch_id},
+            # commit() MERGES meta: a sub-epoch (batch_id None) keeps
+            # the prior stream_batch_id, so a crash before the final
+            # numbered epoch still replays the batch on redelivery
+            meta={"stream_batch_id": batch_id} if batch_id is not None else {},
             append=(self.write_mode == "mor"),
         )
 
@@ -165,6 +286,177 @@ class StreamingUpsert:
         """Tail a directory of changelog parquet files (the file-source
         stand-in for a Kafka topic; swap `.format("kafka")` + from_json
         on a real bus — the batch kernel is unchanged)."""
+        stream = (
+            self.spark.readStream.schema(CHANGELOG_DDL)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+class StreamingMultiUpsert:
+    """One live changelog stream -> N routed tables under the shared
+    atomic group epoch: MultiTableEngine's two-phase roll-forward
+    protocol with the micro-batch as the slice (canal's instance
+    tails ALL tables under one cursor; its adapters each route a
+    subset [C: meta/.../FileMixedMetaManager :: one instance cursor;
+    client-adapter/rdb/.../RdbSyncService.java :: per-`Dml.table`]).
+
+    Exactly-once across N tables from an at-least-once stream:
+
+    - the group marker records `stream_batch_id`; a redelivered
+      micro-batch at or below it is a no-op (the whole group already
+      committed);
+    - a crash BETWEEN member commits and the marker publish leaves
+      some tables at group epoch g with their slice watermarks
+      recorded — on redelivery (Spark re-sends exactly the
+      un-checkpointed batch) the recorded watermarks are adopted, the
+      identical deterministic slice re-applies to the remaining tables
+      only, and the marker publishes: the standard roll-forward, with
+      the stream's redelivery as the retry loop;
+    - events past the last commit marker of their transaction cannot
+      be re-read from a stream, so the barrier's held-back events live
+      in a GROUP-level durable pending store (`<group_dir>/pending/
+      epoch=g/`), planned once on the unfiltered stream — the
+      instance-cursor analog of StreamingUpsert's per-table pending —
+      and referenced from the group marker, never from member tables.
+
+    The slice is planned ONCE per micro-batch (one watermark pass over
+    batch ∪ pending); each route then filters it with its `source`
+    regex and runs the standard LWW -> bucket-pruned MERGE into its own
+    table (`multi.apply_route` — byte-identical protocol to the batch
+    engine, only the slice source differs)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        routes: list,
+        group_dir: str,
+        xa_mode: bool = False,
+        write_mode: str = "cow",
+        broadcast_threshold_rows: int = 4_000_000,
+    ):
+        from canal_spark.multi import GroupLog
+
+        names = [r.name for r in routes]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate route names: {names}")
+        if not routes:
+            raise ValueError("at least one TableRoute is required")
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        self.spark = spark
+        self.routes = list(routes)
+        self.group = GroupLog(group_dir)
+        self.xa_mode = xa_mode
+        self.write_mode = write_mode
+        self.broadcast_threshold_rows = broadcast_threshold_rows
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """One micro-batch -> one group epoch across every route.
+        Idempotent under foreachBatch redelivery; resumes a torn group
+        (crash between member commits and the marker) by roll-forward.
+        Returns True if the group marker for this batch was published
+        by this call."""
+        from canal_spark.multi import apply_route, recorded_group_wms
+
+        cur = self.group.current_epoch()
+        marker = self.group.marker(cur) if cur is not None else None
+        last_batch = marker.get("stream_batch_id", -1) if marker else -1
+        if batch_id <= last_batch:
+            return False  # redelivered batch: the whole group committed
+        g = (cur or 0) + 1
+        ckpts = self.group.checkpoints()
+
+        pend = [os.path.join(self.group.root, p) for p in (marker or {}).get("pending", [])]
+        inp = batch_df.unionByName(self.spark.read.parquet(*pend)) if pend else batch_df
+        if ckpts:
+            committed_map = F.create_map(*[F.lit(x) for kv in ckpts.items() for x in kv])
+            inp = inp.filter(
+                F.col("lsn") > F.coalesce(committed_map[F.col("source_partition")], F.lit(-1))
+            )
+
+        recorded = recorded_group_wms(self.routes, g)
+        wms = recorded if recorded is not None else committed_watermarks(inp, floors=ckpts)
+        complete = tx_barrier(inp, wms)
+        if self.xa_mode:
+            from canal_spark.operators.txn import drop_rolled_back
+
+            complete = drop_rolled_back(complete)
+        apply_df = filters.op_filter(complete)
+
+        # group-level durable pending: events past their partition's
+        # watermark, written BEFORE any member commit so a crash at any
+        # later point finds the store in place (an unreferenced store
+        # from a crashed attempt is invisible — only the marker refs it)
+        wm_map = F.create_map(*[F.lit(x) for kv in wms.items() for x in kv]) if wms else None
+        held = (
+            inp.filter(F.col("lsn") > F.coalesce(wm_map[F.col("source_partition")], F.lit(-1)))
+            if wm_map is not None
+            else inp
+        )
+        pending_dir = os.path.join(self.group.root, "pending", f"epoch={g}")
+        held.repartition(F.col("source_partition")).write.mode("overwrite").parquet(pending_dir)
+        pending_files = [
+            os.path.join("pending", f"epoch={g}", f)
+            for f in os.listdir(pending_dir)
+            if f.endswith(".parquet")
+        ]
+
+        table_epochs: dict[str, int] = {}
+        for route in self.routes:
+            snap = route.table.snapshot() if route.table.current_epoch() is not None else None
+            if snap and snap.get("meta", {}).get("group_epoch", -1) >= g:
+                table_epochs[route.name] = snap["epoch"]  # roll-forward skip
+                continue
+            t_epoch, _ = apply_route(
+                self.spark,
+                route,
+                route.filtered(apply_df),
+                g,
+                wms,
+                write_mode=self.write_mode,
+                broadcast_threshold_rows=self.broadcast_threshold_rows,
+                meta_extra={"stream_batch_id": batch_id},
+            )
+            table_epochs[route.name] = t_epoch
+
+        new_ckpts = {**ckpts, **{int(p): int(v) for p, v in wms.items()}}
+        won = self.group.publish(
+            {
+                "epoch": g,
+                "checkpoints": {str(p): int(v) for p, v in new_ckpts.items()},
+                "tables": table_epochs,
+                "stream_batch_id": int(batch_id),
+                "pending": pending_files,
+            }
+        )
+        if won:
+            # superseded pending stores (< g) are unreachable: only the
+            # LATEST marker's pending is ever read (redelivery of an
+            # older batch returns before reading), so reclaim them now —
+            # a long-running stream must not grow one dir per batch
+            import shutil
+
+            proot = os.path.join(self.group.root, "pending")
+            for d in os.listdir(proot) if os.path.isdir(proot) else []:
+                if d.startswith("epoch=") and int(d.split("=", 1)[1]) < g:
+                    shutil.rmtree(os.path.join(proot, d), ignore_errors=True)
+        return won
+
+    def start(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+    ):
+        """Tail a directory of changelog parquet files (the file-source
+        stand-in for a Kafka topic, exactly as StreamingUpsert)."""
         stream = (
             self.spark.readStream.schema(CHANGELOG_DDL)
             .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -4,6 +4,7 @@ Each phase runs in its own JVM so resume is a real cold start."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 WORK = "/tmp/canal_verify"
@@ -110,6 +111,83 @@ def main(phase: str) -> None:
             total += len(got)
         assert eng2.run_epoch() is None  # group-level exactly-once
         print(f"VERIFY multi: {total} rows across 2 routed tables match per-route oracles")
+    elif phase == "stream":
+        # streaming front-end drive: availableNow file-tail in one JVM,
+        # then a FRESH JVM run on the same checkpoint must be a no-op
+        # and the state must match the pandas oracle (exactly-once from
+        # an at-least-once source)
+        sys.path.insert(0, "/root/repo")
+        from canal_spark.streaming.stream import StreamingUpsert
+
+        from tests.oracle_replay import replay
+
+        st_path = f"{WORK}/stream_table"
+        fresh = not os.path.isdir(st_path)
+        table = (
+            SnapshotTable.create(st_path, n_buckets=16)
+            if fresh
+            else SnapshotTable(st_path)
+        )
+        su = StreamingUpsert(spark, table)
+        q = su.start(LOG, f"{WORK}/stream_ckpt", max_files_per_trigger=1)
+        assert q.awaitTermination(600)
+        epoch = table.current_epoch()
+        # gen writes one file per source partition (8): the fresh run
+        # commits exactly 8 stream epochs; the rerun-on-same-checkpoint
+        # must re-deliver nothing and leave the epoch untouched
+        assert epoch == 8, epoch
+        got = (
+            table.read(spark)
+            .select("doc_id", "tokens", "n_tok", "source")
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        exp = replay(LOG).sort_values("doc_id").reset_index(drop=True)
+        assert list(got.doc_id) == list(exp.doc_id)
+        assert list(got.n_tok) == list(exp.n_tok)
+        bad = sum(1 for g, e in zip(got.tokens, exp.tokens) if list(g) != list(e))
+        assert bad == 0, f"{bad} token-array mismatches"
+        print(
+            f"VERIFY stream({'fresh' if fresh else 'rerun-noop'}): "
+            f"epoch={epoch} {len(got)} rows byte-exact vs pandas oracle"
+        )
+    elif phase == "stream-multi":
+        # streaming multi-table drive: one stream, two routed tables,
+        # per-route oracle parity; a second run is a group-level no-op
+        sys.path.insert(0, "/root/repo")
+        from canal_spark.multi import TableRoute
+        from canal_spark.streaming.stream import StreamingMultiUpsert
+
+        from tests.oracle_replay import replay
+
+        fresh = not os.path.isdir(f"{WORK}/smt_low")
+        if fresh:
+            ta = SnapshotTable.create(f"{WORK}/smt_low", n_buckets=8)
+            tb = SnapshotTable.create(f"{WORK}/smt_high", n_buckets=8)
+        else:
+            ta, tb = SnapshotTable(f"{WORK}/smt_low"), SnapshotTable(f"{WORK}/smt_high")
+        routes = [
+            TableRoute("low", ta, source_whitelist="src[0-4]"),
+            TableRoute("high", tb, source_whitelist="src[5-9]"),
+        ]
+        smu = StreamingMultiUpsert(spark, routes, f"{WORK}/smt_grp")
+        q = smu.start(LOG, f"{WORK}/smt_ckpt", max_files_per_trigger=1)
+        assert q.awaitTermination(600)
+        total = 0
+        for route, pat in zip(routes, ("src[0-4]", "src[5-9]")):
+            got = (
+                route.table.read(spark)
+                .select("doc_id", "n_tok", "source")
+                .toPandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            exp = replay(LOG, source_pattern=pat).sort_values("doc_id").reset_index(drop=True)
+            assert list(got.doc_id) == list(exp.doc_id), route.name
+            assert list(got.n_tok) == list(exp.n_tok), route.name
+            total += len(got)
+        print(
+            f"VERIFY stream-multi({'fresh' if fresh else 'rerun-noop'}): "
+            f"group_epoch={smu.group.current_epoch()} {total} rows across "
+            "2 routed tables match per-route oracles"
+        )
     else:
         raise SystemExit(f"unknown phase {phase}")
 
