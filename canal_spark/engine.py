@@ -379,26 +379,8 @@ class CdcEngine:
 
     # ------------------------------------------------------ ddl stream
     def _ddl_events(self) -> list[dict]:
-        """The DDL side-stream, collected once, in global apply order
-        (lsn, source_partition). Metadata-scale: DDLs are rare events."""
         if self._ddl_cache is None:
-            rows = (
-                self.spark.read.parquet(self.ddl_events_path)
-                .select("lsn", "source_partition", "kind", "payload")
-                .collect()
-            )
-            self._ddl_cache = sorted(
-                (
-                    {
-                        "lsn": int(r["lsn"]),
-                        "source_partition": int(r["source_partition"]),
-                        "kind": r["kind"],
-                        "payload": r["payload"],
-                    }
-                    for r in rows
-                ),
-                key=lambda d: (d["lsn"], d["source_partition"]),
-            )
+            self._ddl_cache = load_ddl_events(self.spark, self.ddl_events_path)
         return self._ddl_cache
 
     def _ddl_watermark(self) -> tuple[int, int]:
@@ -418,35 +400,18 @@ class CdcEngine:
         ]
 
     def _ddl_clamped_extents(self, pending: list[dict]) -> dict[int, int]:
-        """Extents with each partition clamped just below its earliest
-        pending DDL: no event at or past a DDL position is applied
-        until the schema update has committed (ddlIsolation, in
-        stream order)."""
-        ext = dict(self.extents)
-        for d in pending:
-            p = d["source_partition"]
-            if p in ext:
-                ext[p] = min(ext[p], d["lsn"] - 1)
-        return ext
+        return ddl_clamped_extents(self.extents, pending)
 
     def _ddl_ready(self, d: dict, ckpts: dict[int, int]) -> bool:
-        """A DDL at (p, L) applies once partition p's checkpoint covers
-        everything before L (or the partition's whole DML extent, when
-        that ends before L)."""
-        p = d["source_partition"]
-        target = min(d["lsn"] - 1, self.extents.get(p, -1))
-        return ckpts.get(p, -1) >= target
+        return ddl_ready(d, ckpts, self.extents)
 
     def apply_ddl_event(self, d: dict) -> int:
         """Apply one A3-shape DDL event as its own commit epoch and
         durably advance the DDL watermark (atomic with the schema
         change — a crash between never replays it)."""
-        import json as _json
-
-        payload = _json.loads(d["payload"]) if isinstance(d["payload"], str) else d["payload"]
         return self.apply_schema_update(
             d["kind"],
-            payload,
+            parse_ddl_payload(d),
             meta={"ddl_wm": [d["lsn"], d["source_partition"]]},
         )
 
@@ -631,6 +596,57 @@ class CdcEngine:
     # -------------------------------------------------------- evolution
     def apply_schema_update(self, kind: str, payload: dict, meta: dict | None = None) -> int:
         return apply_schema_update(self.table, kind, payload, meta)
+
+
+def load_ddl_events(spark, path: str) -> list[dict]:
+    """The DDL side-stream, collected once, in global apply order
+    (lsn, source_partition). Metadata-scale: DDLs are rare events.
+    Shared by every engine consuming the A3 side-table (single-table,
+    multi-table, streaming)."""
+    rows = (
+        spark.read.parquet(path)
+        .select("lsn", "source_partition", "kind", "payload")
+        .collect()
+    )
+    return sorted(
+        (
+            {
+                "lsn": int(r["lsn"]),
+                "source_partition": int(r["source_partition"]),
+                "kind": r["kind"],
+                "payload": r["payload"],
+            }
+            for r in rows
+        ),
+        key=lambda d: (d["lsn"], d["source_partition"]),
+    )
+
+
+def ddl_clamped_extents(extents: dict[int, int], pending: list[dict]) -> dict[int, int]:
+    """Extents with each partition clamped just below its earliest
+    pending DDL: no event at or past a DDL position is applied until
+    the schema update has committed (ddlIsolation, in stream order)."""
+    ext = dict(extents)
+    for d in pending:
+        p = d["source_partition"]
+        if p in ext:
+            ext[p] = min(ext[p], d["lsn"] - 1)
+    return ext
+
+
+def ddl_ready(d: dict, ckpts: dict[int, int], extents: dict[int, int]) -> bool:
+    """A DDL at (p, L) applies once partition p's checkpoint covers
+    everything before L (or the partition's whole DML extent, when
+    that ends before L)."""
+    p = d["source_partition"]
+    target = min(d["lsn"] - 1, extents.get(p, -1))
+    return ckpts.get(p, -1) >= target
+
+
+def parse_ddl_payload(d: dict) -> dict:
+    import json as _json
+
+    return _json.loads(d["payload"]) if isinstance(d["payload"], str) else d["payload"]
 
 
 def apply_schema_update(table, kind: str, payload: dict, meta: dict | None = None) -> int:

@@ -93,6 +93,7 @@ class GroupEpochResult:
     table_epochs: dict[str, int]
     checkpoints: dict[int, int]
     rolled_forward: bool = False
+    ddl: dict | None = None  # the DDL event, when this was a DDL epoch
 
 
 class GroupLog:
@@ -152,6 +153,7 @@ class MultiTableEngine:
         lsn_budget: int = 1_000_000,
         broadcast_threshold_rows: int = 4_000_000,
         write_mode: str = "cow",
+        ddl_events_path: str | None = None,
     ):
         names = [r.name for r in routes]
         if len(set(names)) != len(names):
@@ -167,6 +169,13 @@ class MultiTableEngine:
         self.lsn_budget = lsn_budget
         self.broadcast_threshold_rows = broadcast_threshold_rows
         self.write_mode = write_mode
+        #: A3 DDL side-stream replicated to EVERY route table (canal's
+        #: instance parses one DDL stream and every subscribed adapter
+        #: applies it [C: parse/.../ddl/DruidDdlParser.java +
+        #: client-adapter schema mapping]); the group marker carries
+        #: the authoritative ddl watermark
+        self.ddl_events_path = ddl_events_path
+        self._ddl_cache: list[dict] | None = None
         self._extents: dict[int, int] | None = None
 
     @property
@@ -179,11 +188,57 @@ class MultiTableEngine:
     def _recorded_wms(self, g: int) -> dict[int, int] | None:
         return recorded_group_wms(self.routes, g)
 
-    def _plan_slice(self, ckpts: dict[int, int]):
+    # ------------------------------------------------------ ddl stream
+    def _group_ddl_wm(self) -> tuple[int, int]:
+        """Position of the last group-applied DDL, from the marker (the
+        authoritative group-level record)."""
+        cur = self.group.current_epoch()
+        wm = self.group.marker(cur).get("ddl_wm") if cur is not None else None
+        return (int(wm[0]), int(wm[1])) if wm else (-1, -1)
+
+    def _pending_ddls(self) -> list[dict]:
+        if not self.ddl_events_path:
+            return []
+        if self._ddl_cache is None:
+            from canal_spark.engine import load_ddl_events
+
+            self._ddl_cache = load_ddl_events(self.spark, self.ddl_events_path)
+        wm = self._group_ddl_wm()
+        return [d for d in self._ddl_cache if (d["lsn"], d["source_partition"]) > wm]
+
+    def _apply_group_ddl(self, d: dict, g: int, ckpts: dict[int, int]) -> GroupEpochResult:
+        """Replicate one ready DDL to EVERY route table (each as its own
+        metadata-only epoch carrying `ddl_wm`), then publish the group
+        marker advancing the group-level watermark. Crash-idempotent:
+        a member whose ddl_wm already covers the position is skipped on
+        roll-forward, exactly like the group_epoch skip for DML."""
+        from canal_spark.engine import apply_schema_update, parse_ddl_payload
+
+        pos = (d["lsn"], d["source_partition"])
+        payload = parse_ddl_payload(d)
+        table_epochs: dict[str, int] = {}
+        for route in self.routes:
+            snap = route.table.snapshot() if route.table.current_epoch() is not None else {}
+            mwm = snap.get("meta", {}).get("ddl_wm")
+            if mwm and (int(mwm[0]), int(mwm[1])) >= pos:
+                table_epochs[route.name] = snap["epoch"]  # crashed run applied it
+                continue
+            apply_schema_update(
+                route.table, d["kind"], payload, meta={"ddl_wm": list(pos)}
+            )
+            table_epochs[route.name] = route.table.current_epoch()
+        self._publish_marker(g, ckpts, table_epochs, ddl_wm=list(pos))
+        return GroupEpochResult(
+            g, {r.name: 0 for r in self.routes}, table_epochs, dict(ckpts), ddl=d
+        )
+
+    def _plan_slice(self, ckpts: dict[int, int], extents: dict[int, int] | None = None):
         """Shared-cursor slice planning, identical growth rule to
         CdcEngine._prepare but over the UNFILTERED stream: the instance
-        cursor must advance past events every route filters out."""
-        bounds = plan_epoch(ckpts, self.extents, self.lsn_budget)
+        cursor must advance past events every route filters out.
+        `extents` overrides the durable extents (the DDL clamp)."""
+        ext = self.extents if extents is None else extents
+        bounds = plan_epoch(ckpts, ext, self.lsn_budget)
         if bounds is None:
             return None
         floors = {p: f for p, (f, _) in bounds.items()}
@@ -192,12 +247,12 @@ class MultiTableEngine:
             sl = read_slice(self.spark, self.changelog_path, bounds)
             wms = committed_watermarks(sl, floors)
             progressed = any(wms[p] > floors[p] for p in bounds)
-            at_extent = all(t >= self.extents[p] for p, (_, t) in bounds.items())
+            at_extent = all(t >= ext[p] for p, (_, t) in bounds.items())
             if progressed or at_extent:
                 break
             budget *= 2
             bounds = {
-                p: (f, min(f + budget, self.extents[p])) for p, (f, _) in bounds.items()
+                p: (f, min(f + budget, ext[p])) for p, (f, _) in bounds.items()
             }
         if not any(wms[p] > floors[p] for p in bounds):
             return None
@@ -206,11 +261,25 @@ class MultiTableEngine:
     # ------------------------------------------------------------- run
     def run_epoch(self) -> GroupEpochResult | None:
         """Apply the next shared slice to every route and publish the
-        group marker. Returns None when the changelog is consumed."""
+        group marker. Returns None when the changelog is consumed.
+
+        With a DDL side-stream, a ready DDL (its partition drained to
+        the DDL position) replicates to every route table as the whole
+        group epoch before any further DML, and DML slices never cross
+        a pending DDL position (same ddlIsolation rule as CdcEngine)."""
+        from canal_spark.engine import ddl_clamped_extents, ddl_ready
+
         g = (self.group.current_epoch() or 0) + 1
         ckpts = self.group.checkpoints()
         recorded = self._recorded_wms(g)
         rolled_forward = recorded is not None
+        pending_ddls = self._pending_ddls()
+        if (
+            recorded is None
+            and pending_ddls
+            and ddl_ready(pending_ddls[0], ckpts, self.extents)
+        ):
+            return self._apply_group_ddl(pending_ddls[0], g, ckpts)
         if recorded is not None:
             wms = recorded
             bounds = {
@@ -220,8 +289,22 @@ class MultiTableEngine:
             }
             sl = read_slice(self.spark, self.changelog_path, bounds)
         else:
-            planned = self._plan_slice(ckpts)
+            planned = self._plan_slice(
+                ckpts,
+                extents=ddl_clamped_extents(self.extents, pending_ddls)
+                if pending_ddls
+                else None,
+            )
             if planned is None:
+                if pending_ddls:
+                    d = pending_ddls[0]
+                    raise RuntimeError(
+                        "DDL at (lsn={lsn}, partition={sp}) is unreachable: no "
+                        "committable DML remains below it (a transaction "
+                        "straddling a DDL position is invalid input)".format(
+                            lsn=d["lsn"], sp=d["source_partition"]
+                        )
+                    )
                 return None
             sl, wms = planned
         complete = tx_barrier(sl, wms)
@@ -241,11 +324,27 @@ class MultiTableEngine:
             n_events[route.name] = n
 
         new_ckpts = {**ckpts, **{int(p): int(v) for p, v in wms.items()}}
+        self._publish_marker(g, new_ckpts, table_epochs)
+        return GroupEpochResult(g, n_events, table_epochs, new_ckpts, rolled_forward)
+
+    def _publish_marker(
+        self,
+        g: int,
+        new_ckpts: dict[int, int],
+        table_epochs: dict[str, int],
+        ddl_wm: list | None = None,
+    ) -> None:
+        """Publish the group marker for epoch g, carrying the DDL
+        watermark forward (markers are full documents — a DML marker
+        must not lose the last DDL position)."""
         marker = {
             "epoch": g,
             "checkpoints": {str(p): int(v) for p, v in new_ckpts.items()},
             "tables": table_epochs,
         }
+        carry = ddl_wm if ddl_wm is not None else list(self._group_ddl_wm())
+        if carry != [-1, -1]:
+            marker["ddl_wm"] = carry
         if not self.group.publish(marker):
             # a concurrent engine on the same group published g first;
             # the protocol is deterministic, so identical checkpoints
@@ -259,7 +358,6 @@ class MultiTableEngine:
                     f"{marker['checkpoints']}) — two engines with "
                     "different plans share this group log"
                 )
-        return GroupEpochResult(g, n_events, table_epochs, new_ckpts, rolled_forward)
 
     def _apply_route(self, route: TableRoute, routed, g: int, wms: dict[int, int]):
         return apply_route(

@@ -73,23 +73,9 @@ class StreamingUpsert:
         if not self.ddl_events_path:
             return []
         if self._ddl_cache is None:
-            rows = (
-                self.spark.read.parquet(self.ddl_events_path)
-                .select("lsn", "source_partition", "kind", "payload")
-                .collect()
-            )
-            self._ddl_cache = sorted(
-                (
-                    {
-                        "lsn": int(r["lsn"]),
-                        "source_partition": int(r["source_partition"]),
-                        "kind": r["kind"],
-                        "payload": r["payload"],
-                    }
-                    for r in rows
-                ),
-                key=lambda d: (d["lsn"], d["source_partition"]),
-            )
+            from canal_spark.engine import load_ddl_events
+
+            self._ddl_cache = load_ddl_events(self.spark, self.ddl_events_path)
         wm = self.table.snapshot().get("meta", {}).get("ddl_wm")
         wm = (int(wm[0]), int(wm[1])) if wm else (-1, -1)
         return [d for d in self._ddl_cache if (d["lsn"], d["source_partition"]) > wm]
@@ -340,6 +326,7 @@ class StreamingMultiUpsert:
         xa_mode: bool = False,
         write_mode: str = "cow",
         broadcast_threshold_rows: int = 4_000_000,
+        ddl_events_path: str | None = None,
     ):
         from canal_spark.multi import GroupLog
 
@@ -356,34 +343,172 @@ class StreamingMultiUpsert:
         self.xa_mode = xa_mode
         self.write_mode = write_mode
         self.broadcast_threshold_rows = broadcast_threshold_rows
+        #: A3 DDL side-stream replicated to EVERY route table in
+        #: position, exactly as MultiTableEngine(ddl_events_path=...)
+        self.ddl_events_path = ddl_events_path
+        self._ddl_cache: list[dict] | None = None
 
+    # ------------------------------------------------------ marker log
+    def _marker(self) -> dict | None:
+        cur = self.group.current_epoch()
+        return self.group.marker(cur) if cur is not None else None
+
+    def _publish_marker(
+        self,
+        g: int,
+        new_ckpts: dict[int, int],
+        table_epochs: dict[str, int],
+        *,
+        stream_batch_id: int | None = None,
+        pending: list[str] | None = None,
+        ddl_wm: list | None = None,
+    ) -> bool:
+        """Markers are full documents: any field this epoch does not
+        change carries forward from the previous marker — the stream
+        batch id (so a crash before the batch's FINAL epoch still
+        replays the batch), the pending-store reference (a DDL epoch
+        must not orphan the held events), the ddl watermark."""
+        prev = self._marker() or {}
+        marker = {
+            "epoch": g,
+            "checkpoints": {str(p): int(v) for p, v in new_ckpts.items()},
+            "tables": table_epochs,
+            "stream_batch_id": int(
+                stream_batch_id
+                if stream_batch_id is not None
+                else prev.get("stream_batch_id", -1)
+            ),
+            "pending": pending if pending is not None else prev.get("pending", []),
+        }
+        wm = ddl_wm if ddl_wm is not None else prev.get("ddl_wm")
+        if wm is not None:
+            marker["ddl_wm"] = wm
+        return self.group.publish(marker)
+
+    # ------------------------------------------------------- ddl stream
+    def _pending_ddls(self) -> list[dict]:
+        if not self.ddl_events_path:
+            return []
+        if self._ddl_cache is None:
+            from canal_spark.engine import load_ddl_events
+
+            self._ddl_cache = load_ddl_events(self.spark, self.ddl_events_path)
+        wm = (self._marker() or {}).get("ddl_wm")
+        wm = (int(wm[0]), int(wm[1])) if wm else (-1, -1)
+        return [d for d in self._ddl_cache if (d["lsn"], d["source_partition"]) > wm]
+
+    def _apply_group_ddl(self, d: dict, g: int, ckpts: dict[int, int]) -> None:
+        """Replicate one ready DDL to every route table as group epoch
+        g (same member-skip roll-forward as MultiTableEngine)."""
+        from canal_spark.engine import apply_schema_update, parse_ddl_payload
+
+        pos = (d["lsn"], d["source_partition"])
+        payload = parse_ddl_payload(d)
+        table_epochs: dict[str, int] = {}
+        for route in self.routes:
+            snap = route.table.snapshot() if route.table.current_epoch() is not None else {}
+            mwm = snap.get("meta", {}).get("ddl_wm")
+            if mwm and (int(mwm[0]), int(mwm[1])) >= pos:
+                table_epochs[route.name] = snap["epoch"]  # crashed run applied it
+                continue
+            apply_schema_update(
+                route.table, d["kind"], payload, meta={"ddl_wm": list(pos)}
+            )
+            table_epochs[route.name] = route.table.current_epoch()
+        self._publish_marker(g, ckpts, table_epochs, ddl_wm=list(pos))
+
+    # ------------------------------------------------------------ batch
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
-        """One micro-batch -> one group epoch across every route.
-        Idempotent under foreachBatch redelivery; resumes a torn group
-        (crash between member commits and the marker) by roll-forward.
-        Returns True if the group marker for this batch was published
-        by this call."""
+        """One micro-batch -> one group epoch across every route (plus,
+        with a DDL side-stream, in-position DDL group epochs and DML
+        sub-epochs, mirroring StreamingUpsert.apply_batch). Idempotent
+        under foreachBatch redelivery; resumes a torn group (crash
+        between member commits and the marker) by roll-forward. Returns
+        True if the final batch marker was published by this call."""
+        from canal_spark.multi import recorded_group_wms
+
+        marker = self._marker()
+        if batch_id <= (marker.get("stream_batch_id", -1) if marker else -1):
+            return False  # redelivered batch: the whole group committed
+
+        use_batch = True
+        if self.ddl_events_path:
+            while True:
+                g = (self.group.current_epoch() or 0) + 1
+                ckpts = self.group.checkpoints()
+                pend = self._pending_ddls()
+                if (
+                    pend
+                    and recorded_group_wms(self.routes, g) is None
+                    and ckpts.get(pend[0]["source_partition"], -1) >= pend[0]["lsn"] - 1
+                ):
+                    self._apply_group_ddl(pend[0], g, ckpts)
+                    continue
+                if not pend:
+                    break
+                if not self._apply_group_dml_epoch(
+                    batch_df if use_batch else None, None, pend
+                ):
+                    break
+                use_batch = False
+        return self._apply_group_dml_epoch(
+            batch_df if use_batch else None, batch_id, self._pending_ddls()
+        )
+
+    def _apply_group_dml_epoch(
+        self,
+        batch_df: DataFrame | None,
+        batch_id: int | None,
+        pending_ddls: list[dict],
+    ) -> bool:
+        """One group DML epoch from (micro-batch ∪ group pending),
+        clamped strictly below pending DDL positions. `batch_id=None`
+        marks an unnumbered sub-epoch: skipped when no partition can
+        progress; the final numbered epoch always commits and records
+        the stream batch id in the marker."""
         from canal_spark.multi import apply_route, recorded_group_wms
 
-        cur = self.group.current_epoch()
-        marker = self.group.marker(cur) if cur is not None else None
-        last_batch = marker.get("stream_batch_id", -1) if marker else -1
-        if batch_id <= last_batch:
-            return False  # redelivered batch: the whole group committed
-        g = (cur or 0) + 1
+        marker = self._marker()
+        g = (self.group.current_epoch() or 0) + 1
         ckpts = self.group.checkpoints()
 
         pend = [os.path.join(self.group.root, p) for p in (marker or {}).get("pending", [])]
-        inp = batch_df.unionByName(self.spark.read.parquet(*pend)) if pend else batch_df
+        pending = self.spark.read.parquet(*pend) if pend else None
+        if batch_df is not None:
+            inp = batch_df.unionByName(pending) if pending is not None else batch_df
+        else:
+            inp = (
+                pending
+                if pending is not None
+                else self.spark.createDataFrame([], CHANGELOG_DDL)
+            )
         if ckpts:
             committed_map = F.create_map(*[F.lit(x) for kv in ckpts.items() for x in kv])
             inp = inp.filter(
                 F.col("lsn") > F.coalesce(committed_map[F.col("source_partition")], F.lit(-1))
             )
 
+        clamped = inp
+        if pending_ddls:
+            clamp: dict[int, int] = {}
+            for d in pending_ddls:
+                p = d["source_partition"]
+                clamp[p] = min(clamp.get(p, d["lsn"] - 1), d["lsn"] - 1)
+            clamp_map = F.create_map(*[F.lit(x) for kv in clamp.items() for x in kv])
+            clamped = inp.filter(
+                F.col("lsn")
+                <= F.coalesce(clamp_map[F.col("source_partition")], F.lit(1 << 62))
+            )
+
         recorded = recorded_group_wms(self.routes, g)
-        wms = recorded if recorded is not None else committed_watermarks(inp, floors=ckpts)
-        complete = tx_barrier(inp, wms)
+        wms = recorded if recorded is not None else committed_watermarks(clamped, floors=ckpts)
+        if (
+            batch_id is None
+            and recorded is None
+            and not any(wms.get(p, -1) > ckpts.get(p, -1) for p in wms)
+        ):
+            return False  # sub-epoch with nothing applicable: skip
+        complete = tx_barrier(clamped, wms)
         if self.xa_mode:
             from canal_spark.operators.txn import drop_rolled_back
 
@@ -391,9 +516,10 @@ class StreamingMultiUpsert:
         apply_df = filters.op_filter(complete)
 
         # group-level durable pending: events past their partition's
-        # watermark, written BEFORE any member commit so a crash at any
-        # later point finds the store in place (an unreferenced store
-        # from a crashed attempt is invisible — only the marker refs it)
+        # watermark (incl. DDL-clamped events), written BEFORE any
+        # member commit so a crash at any later point finds the store
+        # in place (an unreferenced store from a crashed attempt is
+        # invisible — only the marker refs it)
         wm_map = F.create_map(*[F.lit(x) for kv in wms.items() for x in kv]) if wms else None
         held = (
             inp.filter(F.col("lsn") > F.coalesce(wm_map[F.col("source_partition")], F.lit(-1)))
@@ -422,19 +548,19 @@ class StreamingMultiUpsert:
                 wms,
                 write_mode=self.write_mode,
                 broadcast_threshold_rows=self.broadcast_threshold_rows,
-                meta_extra={"stream_batch_id": batch_id},
+                meta_extra=(
+                    {"stream_batch_id": batch_id} if batch_id is not None else {}
+                ),
             )
             table_epochs[route.name] = t_epoch
 
         new_ckpts = {**ckpts, **{int(p): int(v) for p, v in wms.items()}}
-        won = self.group.publish(
-            {
-                "epoch": g,
-                "checkpoints": {str(p): int(v) for p, v in new_ckpts.items()},
-                "tables": table_epochs,
-                "stream_batch_id": int(batch_id),
-                "pending": pending_files,
-            }
+        won = self._publish_marker(
+            g,
+            new_ckpts,
+            table_epochs,
+            stream_batch_id=batch_id,
+            pending=pending_files,
         )
         if won:
             # superseded pending stores (< g) are unreachable: only the

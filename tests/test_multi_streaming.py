@@ -161,3 +161,83 @@ def test_stream_multi_mor_mode(spark, changelog_dir, tmp_path):
         assert_state_equals_oracle(route.table.read(spark), exp)
         assert route.table.compact_files(spark, target_bytes=1 << 30)
         assert_state_equals_oracle(route.table.read(spark), exp)
+
+
+@pytest.fixture(scope="module")
+def smddl_dir(changelog_dir, tmp_path_factory):
+    from canal_spark.sources.changelog import generate_ddl_events
+    from tests.test_ddl_stream import _commit_boundaries
+
+    b0 = _commit_boundaries(changelog_dir, 0)
+    b1 = _commit_boundaries(changelog_dir, 1)
+    ddls = [
+        {"lsn": 0, "source_partition": 3, "kind": "ADD_COLUMN",
+         "payload": {"name": "pre", "type": "int"}},
+        {"lsn": b0[len(b0) // 2] + 1, "source_partition": 0, "kind": "RENAME_COLUMN",
+         "payload": {"from": "source", "to": "origin"}},
+        {"lsn": b1[-1] + 1, "source_partition": 1, "kind": "WIDEN_TYPE",
+         "payload": {"name": "n_tok", "to": "bigint"}},
+    ]
+    d = tmp_path_factory.mktemp("smddl")
+    return generate_ddl_events(str(d / "ddl_events"), ddls), ddls
+
+
+def test_stream_multi_ddl_replicates_in_position(spark, changelog_dir, tmp_path, smddl_dir):
+    """The one DDL stream replicates to every routed table between the
+    right micro-batch events; final states match the per-route oracles
+    under the evolved schema; redelivery after DDLs is still a no-op."""
+    from tests.test_multi_table import _assert_multi_ddl_final
+
+    ddl_path, ddls = smddl_dir
+    routes = _routes(tmp_path)
+    smu = StreamingMultiUpsert(
+        spark, routes, str(tmp_path / "grp"), ddl_events_path=ddl_path
+    )
+    _run(smu, changelog_dir, str(tmp_path / "ckpt"))
+    _assert_multi_ddl_final(spark, smu, changelog_dir, ddls)
+    assert smu.apply_batch(spark.read.parquet(changelog_dir), batch_id=0) is False
+
+
+def test_stream_multi_ddl_crash_mid_replication_rolls_forward(
+    spark, changelog_dir, tmp_path, smddl_dir, monkeypatch
+):
+    """Crash after the DDL applied to route A but before route B: the
+    REDELIVERED micro-batch must skip A, apply B, then run the batch's
+    DML — no member sees the DDL twice, states stay consistent."""
+    import canal_spark.engine as engmod
+
+    ddl_path, ddls = smddl_dir
+    routes = _routes(tmp_path)
+    smu = StreamingMultiUpsert(
+        spark, routes, str(tmp_path / "grp"), ddl_events_path=ddl_path
+    )
+    files = sorted(
+        os.path.join(changelog_dir, f)
+        for f in os.listdir(changelog_dir)
+        if f.endswith(".parquet")
+    )
+    batch0 = spark.read.parquet(files[0])
+    real = engmod.apply_schema_update
+    calls: list[str] = []
+
+    def crashing(table, kind, payload, meta=None):
+        calls.append(table.root)
+        if len(calls) == 2:
+            raise RuntimeError("simulated crash mid-replication")
+        return real(table, kind, payload, meta)
+
+    monkeypatch.setattr(engmod, "apply_schema_update", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        smu.apply_batch(batch0, batch_id=0)  # first DDL (lsn 0) fires first
+    monkeypatch.setattr(engmod, "apply_schema_update", real)
+    assert routes[0].table.snapshot()["schema_ver"] == 2
+    assert routes[1].table.snapshot()["schema_ver"] == 1
+    assert smu.group.current_epoch() is None  # no marker published
+
+    assert smu.apply_batch(batch0, batch_id=0) is True  # the redelivery
+    assert routes[0].table.snapshot()["schema_ver"] == routes[1].table.snapshot()["schema_ver"]
+    for i, f in enumerate(files[1:], start=1):
+        smu.apply_batch(spark.read.parquet(f), batch_id=i)
+    from tests.test_multi_table import _assert_multi_ddl_final
+
+    _assert_multi_ddl_final(spark, smu, changelog_dir, ddls)

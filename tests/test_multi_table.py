@@ -195,3 +195,111 @@ def test_group_rerun_is_noop(spark, changelog_dir, tmp_path):
     assert eng.run_epoch() is None
     assert eng.group.current_epoch() == g1
     assert [r.table.current_epoch() for r in routes] == epochs1
+
+
+@pytest.fixture(scope="module")
+def mddl_dir(changelog_dir, tmp_path_factory):
+    """DDLs planted at committed-tx boundaries (same rule as the
+    single-table DDL tests): the instance's one DDL stream replicates
+    to every routed table regardless of its source subscription."""
+    from canal_spark.sources.changelog import generate_ddl_events
+    from tests.test_ddl_stream import _commit_boundaries
+
+    b0 = _commit_boundaries(changelog_dir, 0)
+    b1 = _commit_boundaries(changelog_dir, 1)
+    ddls = [
+        {"lsn": 0, "source_partition": 3, "kind": "ADD_COLUMN",
+         "payload": {"name": "pre", "type": "int"}},
+        {"lsn": b0[len(b0) // 2] + 1, "source_partition": 0, "kind": "RENAME_COLUMN",
+         "payload": {"from": "source", "to": "origin"}},
+        {"lsn": b1[-1] + 1, "source_partition": 1, "kind": "WIDEN_TYPE",
+         "payload": {"name": "n_tok", "to": "bigint"}},
+    ]
+    d = tmp_path_factory.mktemp("mddl")
+    return generate_ddl_events(str(d / "ddl_events"), ddls), ddls
+
+
+def _assert_multi_ddl_final(spark, eng, changelog_dir, ddls):
+    from tests.test_ddl_stream import assert_state_equals_oracle_frame
+
+    assert eng.group.marker(eng.group.current_epoch())["ddl_wm"] == [
+        ddls[-1]["lsn"], ddls[-1]["source_partition"]
+    ]
+    for route, pat in zip(eng.routes, ("src[0-4]", "src[5-9]")):
+        t = route.table
+        assert t.snapshot()["schema_ver"] == 4, route.name  # 1 + 3 DDLs
+        df = t.read(spark, with_bucket=False)
+        assert df.columns == ["doc_id", "tokens", "n_tok", "origin", "pre"], route.name
+        assert dict(df.dtypes)["n_tok"] == "bigint", route.name
+        got = df.select("doc_id", "tokens", "n_tok", df.origin.alias("source")).toPandas()
+        exp = replay(changelog_dir, source_pattern=pat)
+        assert_state_equals_oracle_frame(got, exp)
+        # every DDL epoch on every member: metadata-only, watermarked
+        snaps = [t.snapshot(e) for e in range(0, t.current_epoch() + 1)]
+        ddl_snaps = [
+            s for s in snaps if s["parent"] is not None
+            and s["schema_ver"] != t.snapshot(s["parent"])["schema_ver"]
+        ]
+        assert [s["meta"]["ddl_wm"] for s in ddl_snaps] == [
+            [d["lsn"], d["source_partition"]] for d in ddls
+        ], route.name
+        for s in ddl_snaps:
+            assert s["files"] == t.snapshot(s["parent"])["files"], route.name
+
+
+def test_multi_table_ddl_replicates_to_all_routes(spark, changelog_dir, tmp_path, mddl_dir):
+    ddl_path, ddls = mddl_dir
+    routes = _routes(tmp_path)
+    eng = MultiTableEngine(
+        spark, changelog_dir, routes, str(tmp_path / "grp"),
+        lsn_budget=600, ddl_events_path=ddl_path,
+    )
+    eng.run_to_completion()
+    assert eng.run_epoch() is None  # idempotent end state
+    _assert_multi_ddl_final(spark, eng, changelog_dir, ddls)
+
+
+def test_multi_table_ddl_crash_mid_replication_rolls_forward(
+    spark, changelog_dir, tmp_path, mddl_dir, monkeypatch
+):
+    """Crash after the DDL applied to route A but before route B and
+    the marker: the next run must re-elect the same DDL group epoch,
+    skip A (its ddl_wm covers the position), apply B, and proceed —
+    no member ever sees the DDL twice."""
+    import canal_spark.engine as engmod
+
+    ddl_path, ddls = mddl_dir
+    routes = _routes(tmp_path)
+    eng = MultiTableEngine(
+        spark, changelog_dir, routes, str(tmp_path / "grp"),
+        lsn_budget=600, ddl_events_path=ddl_path,
+    )
+    real = engmod.apply_schema_update
+    applied: list[str] = []
+
+    def crashing(table, kind, payload, meta=None):
+        applied.append(table.root)
+        if len(applied) == 2:  # second member of the FIRST ddl epoch
+            raise RuntimeError("simulated crash mid-replication")
+        return real(table, kind, payload, meta)
+
+    monkeypatch.setattr(engmod, "apply_schema_update", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run_to_completion()
+    monkeypatch.setattr(engmod, "apply_schema_update", real)
+    assert routes[0].table.snapshot()["schema_ver"] == 2
+    assert routes[1].table.snapshot()["schema_ver"] == 1  # B never saw it
+
+    eng2 = MultiTableEngine(
+        spark, changelog_dir, _routes_reopen(tmp_path), str(tmp_path / "grp"),
+        lsn_budget=600, ddl_events_path=ddl_path,
+    )
+    eng2.run_to_completion()
+    _assert_multi_ddl_final(spark, eng2, changelog_dir, ddls)
+
+
+def _routes_reopen(tmp_path):
+    return [
+        TableRoute("low", SnapshotTable(str(tmp_path / "ta")), source_whitelist="src[0-4]"),
+        TableRoute("high", SnapshotTable(str(tmp_path / "tb")), source_whitelist="src[5-9]"),
+    ]
