@@ -211,6 +211,38 @@ def run_multi_replay(spark, n_events: int, n_epochs: int, workdir: str) -> dict:
     }
 
 
+def run_stream_replay(spark, n_events: int, n_epochs: int, workdir: str) -> dict:
+    """The same north-rule job through the Structured-Streaming
+    front-end (file tail -> foreachBatch -> the same LWW/MERGE
+    kernel), sized to the SAME epoch count as cdc_replay: quantifies
+    what exactly-once-from-a-stream costs over the batch engine
+    (durable pending-store write + availableNow bookkeeping per
+    micro-batch)."""
+    import math
+    import shutil
+
+    from canal_spark.streaming.stream import StreamingUpsert
+
+    log, spec = bench_changelog(n_events)
+    shutil.rmtree(workdir, ignore_errors=True)
+    table = SnapshotTable.create(f"{workdir}/table", n_buckets=max(32, CPUS))
+    su = StreamingUpsert(spark, table)
+    per_trigger = math.ceil(spec.n_partitions / n_epochs)
+    t0 = time.monotonic()
+    q = su.start(log, f"{workdir}/ckpt", max_files_per_trigger=per_trigger)
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+    lin = table.lineage_df(spark).toPandas()
+    applied = int(lin.n_events.sum())
+    return {
+        "wall_sec": round(wall, 3),
+        "epochs": int(table.current_epoch()),
+        "events_applied": applied,
+        "events_per_sec": round(applied / wall, 1),
+        "final_rows": table.read(spark).count(),
+    }
+
+
 def run_update_heavy(spark, n_events: int, n_update_epochs: int, workdir: str) -> dict:
     """The regime merge-on-read exists for: a LARGE seeded table takes
     a stream of SMALL update epochs. CoW rewrites every touched bucket
@@ -329,6 +361,16 @@ def main() -> None:
     multi["all_runs_wall_sec"] = [r["wall_sec"] for r in multi_runs]
     queries["multi_replay"] = multi["wall_sec"]
 
+    stream_runs = run_until_converged(
+        lambda: run_stream_replay(spark, N_EVENTS, N_EPOCHS, f"{WORK_ROOT}/bench_stream"),
+        min_runs=2,
+        max_runs=max(4, N_RUNS),
+        wall_of=lambda r: r["wall_sec"],
+    )
+    stream = max(stream_runs, key=lambda r: r["events_per_sec"])
+    stream["all_runs_wall_sec"] = [r["wall_sec"] for r in stream_runs]
+    queries["stream_replay"] = stream["wall_sec"]
+
     upd_runs = [
         run_update_heavy(spark, N_EVENTS, N_EPOCHS_UPDATE, f"{WORK_ROOT}/bench_upd")
         for _ in range(max(1, N_RUNS // 2))
@@ -414,6 +456,7 @@ def main() -> None:
                 "cdc_replay": replay,
                 "mor_replay": mor,
                 "multi_replay": multi,
+                "stream_replay": stream,
                 "update_heavy": update_heavy,
                 "refine_corpus_stages": refine_stages,
                 "dedup_simhash_series": simhash_series,

@@ -70,6 +70,45 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Tail a changelog directory into a snapshot table via Structured
+    Streaming (availableNow: drain everything currently there, one
+    commit epoch per micro-batch, stop). Re-run as new files land —
+    the checkpoint + recorded stream batch id make every run
+    exactly-once; a DDL side-stream applies in position."""
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.streaming.stream import StreamingUpsert
+
+    spark = _spark(args.master, args.cpus)
+    table = (
+        SnapshotTable.create(
+            args.table,
+            n_buckets=args.buckets,
+            target_file_rows=args.target_file_rows,
+        )
+        if not os.path.isdir(os.path.join(args.table, "meta"))
+        else SnapshotTable(args.table)
+    )
+    su = StreamingUpsert(
+        spark,
+        table,
+        xa_mode=args.xa,
+        write_mode=args.write_mode,
+        ddl_events_path=args.ddl_events,
+    )
+    q = su.start(
+        args.changelog, args.checkpoint, max_files_per_trigger=args.max_files_per_trigger
+    )
+    q.awaitTermination()
+    out = {
+        "epoch": table.current_epoch(),
+        "rows": table.read(spark).count(),
+        "checkpoints": table.checkpoints(),
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_status(args) -> int:
     from canal_spark.plans.cursors import CursorRegistry
     from canal_spark.plans.table import SnapshotTable
@@ -209,6 +248,22 @@ def main(argv: list[str] | None = None) -> int:
                     "files BEYOND its bin-pack goal (ceil(bucket_bytes / "
                     "target)); only the triggering buckets are folded")
     rp.set_defaults(fn=cmd_replay)
+
+    sm = sub.add_parser(
+        "stream",
+        help="tail a changelog directory into a snapshot table "
+        "(Structured Streaming, availableNow drain)",
+    )
+    sm.add_argument("--changelog", required=True)
+    sm.add_argument("--table", required=True)
+    sm.add_argument("--checkpoint", required=True)
+    sm.add_argument("--buckets", type=int, default=32)
+    sm.add_argument("--target-file-rows", type=int, default=None)
+    sm.add_argument("--max-files-per-trigger", type=int, default=1)
+    sm.add_argument("--ddl-events", default=None)
+    sm.add_argument("--xa", action="store_true")
+    sm.add_argument("--write-mode", choices=("cow", "mor"), default="cow")
+    sm.set_defaults(fn=cmd_stream)
 
     st = sub.add_parser("status", help="print table position/meta as JSON")
     st.add_argument("--table", required=True)

@@ -150,3 +150,29 @@ def test_cli_lookup_numeric_key_column(spark, tmp_path):
         env={**os.environ, "CANAL_SPARK_MASTER": "local[4]"},
     )
     assert out.returncode == 2 and "not a valid bigint" in out.stderr
+
+
+def test_cli_stream_drain_and_incremental_rerun(changelog_dir, tmp_path):
+    """`stream` drains the directory exactly-once; a second process on
+    the same checkpoint is a no-op; a third sees only NEW files."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    files = sorted(f for f in os.listdir(changelog_dir) if f.endswith(".parquet"))
+    for f in files[:3]:
+        shutil.copy(os.path.join(changelog_dir, f), os.path.join(src, f))
+    table, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    r1 = _run("stream", "--changelog", src, "--table", table,
+              "--checkpoint", ckpt, "--buckets", "8")
+    assert r1["epoch"] == 3 and r1["rows"] > 0
+    r2 = _run("stream", "--changelog", src, "--table", table, "--checkpoint", ckpt)
+    assert r2 == r1  # cold rerun: nothing redelivered
+    for f in files[3:]:
+        shutil.copy(os.path.join(changelog_dir, f), os.path.join(src, f))
+    r3 = _run("stream", "--changelog", src, "--table", table, "--checkpoint", ckpt)
+    assert r3["epoch"] == len(files) and r3["rows"] >= r1["rows"]
+    # the drained stream table equals the batch engine's final state
+    bt = str(tmp_path / "bt")
+    rb = _run("replay", "--changelog", changelog_dir, "--table", bt, "--buckets", "8")
+    assert rb["rows"] == r3["rows"] and rb["checkpoints"] == r3["checkpoints"]
