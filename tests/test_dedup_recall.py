@@ -185,10 +185,14 @@ def test_winnowing_density_bound(spark):
     assert n_fp < 0.7 * n_grams
 
 
-def test_connected_components_collapses_chains(spark):
+@pytest.mark.parametrize("threshold", [1_000_000, 0])
+def test_connected_components_collapses_chains(spark, threshold):
     """A~B, B~C (but never A~C directly) must land in ONE cluster —
     the under-dedup case pairwise drop rules miss; isolated docs label
-    themselves; disjoint pairs stay separate clusters."""
+    themselves; disjoint pairs stay separate clusters. Parametrized
+    over BOTH physical paths: the driver union-find fast path
+    (threshold high) and the distributed label-propagation rounds
+    (threshold 0) must agree exactly."""
     from canal_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
@@ -197,12 +201,36 @@ def test_connected_components_collapses_chains(spark):
     nodes = spark.range(1, 11).select(F.col("id").alias("doc_id"))
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(pairs, nodes).collect()
+        for r in connected_components(
+            pairs, nodes, driver_threshold_edges=threshold
+        ).collect()
     }
     assert got[1] == got[2] == got[3] == 1
     assert got[7] == got[9] == 7
     for i in (4, 5, 6, 8, 10):
         assert got[i] == i
+
+
+def test_connected_components_paths_agree_on_random_graph(spark):
+    """Property parity: on a deterministic random pair graph the driver
+    union-find and the distributed rounds produce byte-identical
+    cluster assignments."""
+    import random
+
+    from canal_spark.operators.dedup import connected_components
+
+    rnd = random.Random(7)
+    pairs = [(rnd.randrange(200), rnd.randrange(200)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    nodes = spark.range(0, 250).select(F.col("id").alias("doc_id"))
+    fast = sorted(
+        map(tuple, connected_components(pdf, nodes).collect())
+    )
+    dist = sorted(
+        map(tuple, connected_components(pdf, nodes, driver_threshold_edges=0).collect())
+    )
+    assert fast == dist
 
 
 def test_connected_components_releases_all_caches(spark, monkeypatch):
@@ -227,7 +255,7 @@ def test_connected_components_releases_all_caches(spark, monkeypatch):
     monkeypatch.setattr(cls, "persist", tracking_persist)
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     nodes = spark.range(1, 6).select(F.col("id").alias("doc_id"))
-    out = connected_components(pairs, nodes)
+    out = connected_components(pairs, nodes, driver_threshold_edges=0)
     assert out.count() == 5  # the result survives the cache release
     assert persisted, "sanity: the algorithm does persist intermediates"
     still_cached = [df for df in persisted if df.is_cached]
