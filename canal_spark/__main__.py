@@ -109,6 +109,81 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def _parse_routes(specs: list[str], buckets: int):
+    """--route NAME=TABLE_DIR[::SOURCE_REGEX] -> TableRoute (the
+    adapter-instance config: one destination per route, optional
+    schema.table-style subscription regex on `source`)."""
+    from canal_spark.multi import TableRoute
+    from canal_spark.plans.table import SnapshotTable
+
+    routes = []
+    for s in specs:
+        name, _, rest = s.partition("=")
+        if not rest:
+            raise SystemExit(f"--route must be NAME=TABLE_DIR[::SOURCE_REGEX], got {s!r}")
+        path, _, wl = rest.partition("::")
+        table = (
+            SnapshotTable.create(path, n_buckets=buckets)
+            if not os.path.isdir(os.path.join(path, "meta"))
+            else SnapshotTable(path)
+        )
+        routes.append(TableRoute(name, table, source_whitelist=wl or None))
+    return routes
+
+
+def cmd_multi_replay(args) -> int:
+    """Instance-level replay: one changelog into N routed tables under
+    the shared atomic group epoch (resumes from the group marker)."""
+    from canal_spark.multi import MultiTableEngine
+
+    spark = _spark(args.master, args.cpus)
+    routes = _parse_routes(args.route, args.buckets)
+    eng = MultiTableEngine(
+        spark,
+        args.changelog,
+        routes,
+        args.group_dir,
+        lsn_budget=args.lsn_budget,
+        write_mode=args.write_mode,
+        ddl_events_path=args.ddl_events,
+    )
+    final = eng.run_to_completion(max_epochs=args.max_epochs)
+    out = {
+        "group_epoch": final,
+        "rows": {r.name: r.table.read(spark).count() for r in routes},
+        "checkpoints": eng.group.checkpoints(),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_multi_stream(args) -> int:
+    """Instance-level streaming drain: one changelog directory tailed
+    into N routed tables, exactly-once per micro-batch across reruns."""
+    from canal_spark.streaming.stream import StreamingMultiUpsert
+
+    spark = _spark(args.master, args.cpus)
+    routes = _parse_routes(args.route, args.buckets)
+    smu = StreamingMultiUpsert(
+        spark,
+        routes,
+        args.group_dir,
+        write_mode=args.write_mode,
+        ddl_events_path=args.ddl_events,
+    )
+    q = smu.start(
+        args.changelog, args.checkpoint, max_files_per_trigger=args.max_files_per_trigger
+    )
+    q.awaitTermination()
+    out = {
+        "group_epoch": smu.group.current_epoch(),
+        "rows": {r.name: r.table.read(spark).count() for r in routes},
+        "checkpoints": smu.group.checkpoints(),
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_status(args) -> int:
     from canal_spark.plans.cursors import CursorRegistry
     from canal_spark.plans.table import SnapshotTable
@@ -264,6 +339,34 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--xa", action="store_true")
     sm.add_argument("--write-mode", choices=("cow", "mor"), default="cow")
     sm.set_defaults(fn=cmd_stream)
+
+    for nm, fn, streaming in (
+        ("multi-replay", cmd_multi_replay, False),
+        ("multi-stream", cmd_multi_stream, True),
+    ):
+        mp = sub.add_parser(
+            nm,
+            help=f"{'stream' if streaming else 'replay'} one changelog into N "
+            "routed tables under a shared atomic group epoch",
+        )
+        mp.add_argument("--changelog", required=True)
+        mp.add_argument("--group-dir", required=True)
+        mp.add_argument(
+            "--route", action="append", required=True,
+            metavar="NAME=TABLE_DIR[::SOURCE_REGEX]",
+            help="repeatable; one destination table per route with an "
+            "optional source-subscription regex",
+        )
+        mp.add_argument("--buckets", type=int, default=32)
+        mp.add_argument("--write-mode", choices=("cow", "mor"), default="cow")
+        mp.add_argument("--ddl-events", default=None)
+        if streaming:
+            mp.add_argument("--checkpoint", required=True)
+            mp.add_argument("--max-files-per-trigger", type=int, default=1)
+        else:
+            mp.add_argument("--lsn-budget", type=int, default=1_000_000)
+            mp.add_argument("--max-epochs", type=int, default=10_000)
+        mp.set_defaults(fn=fn)
 
     st = sub.add_parser("status", help="print table position/meta as JSON")
     st.add_argument("--table", required=True)

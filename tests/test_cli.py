@@ -176,3 +176,36 @@ def test_cli_stream_drain_and_incremental_rerun(changelog_dir, tmp_path):
     bt = str(tmp_path / "bt")
     rb = _run("replay", "--changelog", changelog_dir, "--table", bt, "--buckets", "8")
     assert rb["rows"] == r3["rows"] and rb["checkpoints"] == r3["checkpoints"]
+
+
+def test_cli_multi_replay_and_multi_stream(changelog_dir, tmp_path):
+    """Instance-level CLI: `multi-replay` routes one changelog into two
+    tables under the group epoch and a rerun is a no-op; `multi-stream`
+    over the same changelog reaches the identical per-route states."""
+    grp = str(tmp_path / "grp")
+    routes = [
+        f"low={tmp_path}/ta::src[0-4]",
+        f"high={tmp_path}/tb::src[5-9]",
+    ]
+    r1 = _run(
+        "multi-replay", "--changelog", changelog_dir, "--group-dir", grp,
+        "--route", routes[0], "--route", routes[1],
+        "--buckets", "8", "--lsn-budget", "1000",
+    )
+    assert r1["group_epoch"] >= 2 and all(v > 0 for v in r1["rows"].values())
+    r2 = _run(
+        "multi-replay", "--changelog", changelog_dir, "--group-dir", grp,
+        "--route", routes[0], "--route", routes[1],
+        "--buckets", "8", "--lsn-budget", "1000",
+    )
+    assert r2["group_epoch"] == r1["group_epoch"] and r2["rows"] == r1["rows"]
+    s1 = _run(
+        "multi-stream", "--changelog", changelog_dir,
+        "--group-dir", str(tmp_path / "sgrp"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--route", f"low={tmp_path}/sa::src[0-4]",
+        "--route", f"high={tmp_path}/sb::src[5-9]",
+        "--buckets", "8",
+    )
+    assert s1["rows"] == r1["rows"]
+    assert s1["checkpoints"] == r1["checkpoints"]
