@@ -82,6 +82,7 @@ _SAMPLE_FIRST = [
     "windowed_event_counts",
     # new or contract-changed in r5
     "stream_replay_parity",
+    "token_budget_cap",
     "dedup_incremental",
     "dedup_incremental_resume",
     "dedup_incremental_compacted",

@@ -354,3 +354,33 @@ def winnowing_fingerprints(
         df.select(F.col(id_col), F.when(n > 0, grams).otherwise(F.array()).alias("_hashes"))
         .select(id_col, F.explode(F.array_distinct(mins)).alias("fp"))
     )
+
+
+def cap_token_budget(
+    df,
+    budget: int,
+    token_col: str = "n_tok",
+    source_col: str = "source",
+    order_col: str = "doc_id",
+):
+    """Per-source token-budget cap: keep each source's PREFIX (in
+    deterministic `order_col` order) whose running token total fits
+    `budget` — the corpus-mixing step that bounds any one source's
+    contribution to a training mix (the absolute-count counterpart of
+    `mix_corpora`'s rate-based sampling).
+
+    Scale: one hash exchange on `source_col`, then an in-partition
+    running sum (a window on a sorted partition is a streaming agg;
+    the filter discards past-budget rows in the same pass — no second
+    scan, no collect). Skew note: a giant source lands on one task
+    under the window; at real scale pre-partition the order column
+    into ranges with per-range token subtotals (two cheap passes) —
+    here the budget itself bounds the retained prefix."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(source_col).orderBy(order_col)
+    return (
+        df.withColumn("_cum", F.sum(token_col).over(w))
+        .filter(F.col("_cum") <= F.lit(budget))
+        .drop("_cum")
+    )

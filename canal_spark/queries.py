@@ -1589,6 +1589,23 @@ def lang_id_heuristic(spark, sf):
 
 
 @q(
+    "token_budget_cap",
+    "WITH c AS (SELECT doc_id, source, n_chars, SUM(n_chars) OVER "
+    "(PARTITION BY source ORDER BY doc_id) AS cum FROM documents) "
+    "SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_tok "
+    "FROM c WHERE cum <= 20000",
+)
+def token_budget_cap(spark, sf):
+    """Per-source token-budget cap (P21): each source contributes at
+    most 20k tokens to the mix, taken as its deterministic doc_id-order
+    prefix — one window pass, no second scan."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_tok")
+    )
+    return TX.cap_token_budget(docs, budget=20_000)
+
+
+@q(
     "quality_score",
     "SELECT doc_id, LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) "
     "+ CAST(len(list_filter(string_split(text, ' '), "

@@ -44,3 +44,20 @@ def test_sample_stratified_quota_and_determinism(spark):
     # k larger than the group returns the whole group
     tiny = TX.sample_stratified(_docs(spark, 5), group_col="lang", k=10, seed=5)
     assert tiny.count() == 5
+
+
+def test_cap_token_budget_keeps_per_source_prefix(spark):
+    """The cap keeps each source's doc_id-order PREFIX: the first doc
+    past the budget is dropped even if a later smaller doc would fit
+    (deterministic greedy-prefix semantics, not knapsack)."""
+    from canal_spark.functions.text import cap_token_budget
+
+    df = spark.createDataFrame(
+        [(1, "a", 40), (2, "a", 50), (3, "a", 20), (4, "a", 5),
+         (5, "b", 100), (6, "b", 1)],
+        "doc_id long, source string, n_tok long",
+    )
+    got = {r["doc_id"] for r in cap_token_budget(df, budget=100).collect()}
+    # source a: 40+50=90 fits, +20 -> 110 drops 3 AND the cumulative
+    # rule drops 4 too (cum 115 > 100) — prefix, not best-fit
+    assert got == {1, 2, 5}
