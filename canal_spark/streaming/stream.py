@@ -38,6 +38,41 @@ from canal_spark.sources.changelog import CHANGELOG_DDL
 PAYLOAD_COLS = ("op", "tokens", "n_tok", "source")
 
 
+def _offset_filter(inp: DataFrame, ckpts: dict[int, int]) -> DataFrame:
+    """Offset high-watermark: drop events at or below their partition's
+    committed checkpoint (stale redelivery across restarts). Shared by
+    the single-table and multi-table streaming front-ends."""
+    if not ckpts:
+        return inp
+    m = F.create_map(*[F.lit(x) for kv in ckpts.items() for x in kv])
+    return inp.filter(F.col("lsn") > F.coalesce(m[F.col("source_partition")], F.lit(-1)))
+
+
+def _clamp_below_ddls(inp: DataFrame, pending_ddls: list[dict]) -> DataFrame:
+    """DML strictly below every pending DDL position (ddlIsolation):
+    clamped-out events stay out of the watermark, so they ride the
+    durable pending store until the DDL commits."""
+    if not pending_ddls:
+        return inp
+    clamp: dict[int, int] = {}
+    for d in pending_ddls:
+        p = d["source_partition"]
+        clamp[p] = min(clamp.get(p, d["lsn"] - 1), d["lsn"] - 1)
+    m = F.create_map(*[F.lit(x) for kv in clamp.items() for x in kv])
+    return inp.filter(
+        F.col("lsn") <= F.coalesce(m[F.col("source_partition")], F.lit(1 << 62))
+    )
+
+
+def _held_past_wms(inp: DataFrame, wms: dict[int, int]) -> DataFrame:
+    """Events past their partition's watermark — the durable pending
+    set (incomplete transactions + DDL-clamped events)."""
+    if not wms:
+        return inp
+    m = F.create_map(*[F.lit(x) for kv in wms.items() for x in kv])
+    return inp.filter(F.col("lsn") > F.coalesce(m[F.col("source_partition")], F.lit(-1)))
+
+
 class StreamingUpsert:
     def __init__(
         self,
@@ -81,15 +116,12 @@ class StreamingUpsert:
         return [d for d in self._ddl_cache if (d["lsn"], d["source_partition"]) > wm]
 
     def _apply_ddl(self, d: dict) -> None:
-        import json as _json
+        from canal_spark.engine import apply_schema_update, parse_ddl_payload
 
-        from canal_spark.engine import apply_schema_update
-
-        payload = _json.loads(d["payload"]) if isinstance(d["payload"], str) else d["payload"]
         apply_schema_update(
             self.table,
             d["kind"],
-            payload,
+            parse_ddl_payload(d),
             meta={"ddl_wm": [d["lsn"], d["source_partition"]]},
         )
 
@@ -109,16 +141,24 @@ class StreamingUpsert:
         (a stream cannot be re-read; the pending store is the replay
         buffer). A crash anywhere resolves on redelivery: applied
         events drop at the offset high-watermark, applied DDLs at the
-        durable ddl watermark. The one undetectable input error is a
-        transaction straddling a DDL position — in batch mode the
-        engine raises (the log is finite); a stream cannot distinguish
-        it from events not yet arrived, so it stays pending."""
+        durable ddl watermark, and a batch whose sub-epoch already
+        absorbed it into the pending store is NOT unioned twice (the
+        durable `stream_sub_batch_id` mark — without it a redelivery
+        after a crash between a sub-epoch and the final numbered epoch
+        would duplicate every held event). Two stream-vs-batch semantic
+        differences are inherent: a transaction straddling a DDL
+        position, and a DDL positioned past its partition's final
+        event — the batch engine can decide both because the log is
+        finite (raise / apply-at-drain), a stream cannot distinguish
+        either from events not yet arrived, so both stay pending."""
         snap = self.table.snapshot()
-        last_batch = snap.get("meta", {}).get("stream_batch_id", -1)
-        if batch_id <= last_batch:
+        meta = snap.get("meta", {})
+        if batch_id <= meta.get("stream_batch_id", -1):
             return False  # redelivered batch: already committed
 
-        use_batch = True
+        # a sub-epoch of THIS batch already committed before a crash:
+        # the batch's unapplied remainder lives in the pending store
+        use_batch = meta.get("stream_sub_batch_id", -1) != batch_id
         if self.ddl_events_path:
             while True:
                 ckpts = self.table.checkpoints()
@@ -131,7 +171,9 @@ class StreamingUpsert:
                 # DML below the pending DDL positions, as a sub-epoch;
                 # after the first one the batch lives in the pending
                 # store (never union it twice)
-                if not self._apply_dml_epoch(batch_df if use_batch else None, None, pend):
+                if not self._apply_dml_epoch(
+                    batch_df if use_batch else None, None, pend, sub_of=batch_id
+                ):
                     break
                 use_batch = False
         return self._apply_dml_epoch(
@@ -143,14 +185,19 @@ class StreamingUpsert:
         batch_df: DataFrame | None,
         batch_id: int | None,
         pending_ddls: list[dict],
+        sub_of: int | None = None,
     ) -> bool:
         """One DML commit epoch from (micro-batch ∪ durable pending),
         clamped strictly below every pending DDL position.
-        `batch_id=None` marks an unnumbered sub-epoch: it is skipped
-        (no commit) when no partition can progress; the final numbered
-        epoch always commits, recording the stream batch id."""
-        snap = self.table.snapshot()
-        epoch = snap["epoch"] + 1
+        `batch_id=None` marks an unnumbered sub-epoch of batch
+        `sub_of`: it is skipped (no commit) when no partition can
+        progress, and its commit records `stream_sub_batch_id` so a
+        redelivery after a crash knows the batch already lives in the
+        pending store (unioning it again would double every held
+        event). The commit retries a lost epoch-number race (concurrent
+        maintenance) like every batch-engine path — returning False to
+        foreachBatch would silently drop the batch, because Spark
+        checkpoints it regardless of the callback's return value."""
         ckpts = self.table.checkpoints()
 
         pending = self.table.read_pending(self.spark)
@@ -162,32 +209,8 @@ class StreamingUpsert:
                 if pending is not None
                 else self.spark.createDataFrame([], CHANGELOG_DDL)
             )
-
-        # offset high-watermark: drop events already applied (stale
-        # redelivery across restarts)
-        if ckpts:
-            committed_map = F.create_map(
-                *[F.lit(x) for kv in ckpts.items() for x in kv]
-            )
-            inp = inp.filter(
-                F.col("lsn")
-                > F.coalesce(committed_map[F.col("source_partition")], F.lit(-1))
-            )
-
-        # clamp strictly below every pending DDL position: the clamped
-        # events stay out of the watermark, so they land in the held
-        # set below and replay after the DDL commits
-        clamped = inp
-        if pending_ddls:
-            clamp: dict[int, int] = {}
-            for d in pending_ddls:
-                p = d["source_partition"]
-                clamp[p] = min(clamp.get(p, d["lsn"] - 1), d["lsn"] - 1)
-            clamp_map = F.create_map(*[F.lit(x) for kv in clamp.items() for x in kv])
-            clamped = inp.filter(
-                F.col("lsn")
-                <= F.coalesce(clamp_map[F.col("source_partition")], F.lit(1 << 62))
-            )
+        inp = _offset_filter(inp, ckpts)
+        clamped = _clamp_below_ddls(inp, pending_ddls)
 
         wms = committed_watermarks(clamped, floors=ckpts)
         if batch_id is None and not any(wms.get(p, -1) > ckpts.get(p, -1) for p in wms):
@@ -198,14 +221,30 @@ class StreamingUpsert:
 
             complete = drop_rolled_back(complete)
         apply_df = filters.op_filter(complete)
+        held = _held_past_wms(inp, wms)
 
-        # durable pending store: events past their partition's watermark
-        wm_map = F.create_map(*[F.lit(x) for kv in wms.items() for x in kv]) if wms else None
-        held = (
-            inp.filter(F.col("lsn") > F.coalesce(wm_map[F.col("source_partition")], F.lit(-1)))
-            if wm_map is not None
-            else inp
+        lineage_rows = (
+            apply_df.groupBy("source_partition")
+            .agg(F.count("*").alias("n_events"), F.max("lsn").alias("max_lsn"))
+            .collect()
         )
+        delta = lww_collapse(apply_df, key="doc_id", payload_cols=PAYLOAD_COLS, with_seq=True)
+        meta = (
+            {"stream_batch_id": batch_id}
+            if batch_id is not None
+            else {"stream_sub_batch_id": int(sub_of)}
+        )
+        for _attempt in range(5):
+            if not self._try_commit_dml(held, delta, lineage_rows, wms, meta):
+                # lost the epoch number to concurrent maintenance:
+                # nothing landed (staged files are unreferenced
+                # orphans); replan on the fresh snapshot
+                continue
+            return True
+        raise RuntimeError("streaming epoch: lost the commit race 5 times")
+
+    def _try_commit_dml(self, held, delta, lineage_rows, wms, meta) -> bool:
+        epoch = self.table.snapshot()["epoch"] + 1
         # NOT inside the epoch data dir — merge_epoch overwrites that dir.
         # Partitioned by source stream (not coalesce(1)): a burst of
         # incomplete transactions writes in parallel, one task per
@@ -219,19 +258,16 @@ class StreamingUpsert:
             for f in os.listdir(pending_dir)
             if f.endswith(".parquet")
         ]
-
-        lineage_rows = (
-            apply_df.groupBy("source_partition")
-            .agg(F.count("*").alias("n_events"), F.max("lsn").alias("max_lsn"))
-            .collect()
-        )
-        delta = lww_collapse(apply_df, key="doc_id", payload_cols=PAYLOAD_COLS, with_seq=True)
         if self.write_mode == "mor":
             from canal_spark.operators.merge import append_epoch
 
             rewritten = append_epoch(self.spark, self.table, delta, epoch)
         else:
             rewritten = merge_epoch(self.spark, self.table, delta, epoch)
+        # sink fan-out stays BEFORE the commit: at-least-once to sinks,
+        # exactly-once to the table (a retried commit may re-deliver
+        # the same delta under a new epoch number — the RDB sink's LWW
+        # guard makes that a no-op; the MQ sink is a redeliverable bus)
         for sink in self.sinks:
             sink.apply(self.spark, delta, epoch)
         lineage = [
@@ -255,10 +291,11 @@ class StreamingUpsert:
             wms,
             lineage,
             pending=pending_files,
-            # commit() MERGES meta: a sub-epoch (batch_id None) keeps
-            # the prior stream_batch_id, so a crash before the final
-            # numbered epoch still replays the batch on redelivery
-            meta={"stream_batch_id": batch_id} if batch_id is not None else {},
+            # commit() MERGES meta: a sub-epoch records only its
+            # stream_sub_batch_id and keeps the prior stream_batch_id,
+            # so a crash before the final numbered epoch still replays
+            # the batch on redelivery (from the pending store)
+            meta=meta,
             append=(self.write_mode == "mor"),
         )
 
@@ -360,14 +397,17 @@ class StreamingMultiUpsert:
         table_epochs: dict[str, int],
         *,
         stream_batch_id: int | None = None,
+        sub_batch_id: int | None = None,
         pending: list[str] | None = None,
         ddl_wm: list | None = None,
     ) -> bool:
         """Markers are full documents: any field this epoch does not
         change carries forward from the previous marker — the stream
         batch id (so a crash before the batch's FINAL epoch still
-        replays the batch), the pending-store reference (a DDL epoch
-        must not orphan the held events), the ddl watermark."""
+        replays the batch), the sub-batch mark (so that replay knows
+        the batch already lives in the pending store and must not be
+        unioned twice), the pending-store reference (a DDL epoch must
+        not orphan the held events), the ddl watermark."""
         prev = self._marker() or {}
         marker = {
             "epoch": g,
@@ -377,6 +417,11 @@ class StreamingMultiUpsert:
                 stream_batch_id
                 if stream_batch_id is not None
                 else prev.get("stream_batch_id", -1)
+            ),
+            "stream_sub_batch_id": int(
+                sub_batch_id
+                if sub_batch_id is not None
+                else prev.get("stream_sub_batch_id", -1)
             ),
             "pending": pending if pending is not None else prev.get("pending", []),
         }
@@ -431,7 +476,10 @@ class StreamingMultiUpsert:
         if batch_id <= (marker.get("stream_batch_id", -1) if marker else -1):
             return False  # redelivered batch: the whole group committed
 
-        use_batch = True
+        # a sub-epoch of THIS batch already published before a crash:
+        # the batch's unapplied remainder lives in the group pending
+        # store — unioning batch_df again would double every held event
+        use_batch = (marker or {}).get("stream_sub_batch_id", -1) != batch_id
         if self.ddl_events_path:
             while True:
                 g = (self.group.current_epoch() or 0) + 1
@@ -447,7 +495,7 @@ class StreamingMultiUpsert:
                 if not pend:
                     break
                 if not self._apply_group_dml_epoch(
-                    batch_df if use_batch else None, None, pend
+                    batch_df if use_batch else None, None, pend, sub_of=batch_id
                 ):
                     break
                 use_batch = False
@@ -460,12 +508,16 @@ class StreamingMultiUpsert:
         batch_df: DataFrame | None,
         batch_id: int | None,
         pending_ddls: list[dict],
+        sub_of: int | None = None,
     ) -> bool:
         """One group DML epoch from (micro-batch ∪ group pending),
         clamped strictly below pending DDL positions. `batch_id=None`
-        marks an unnumbered sub-epoch: skipped when no partition can
-        progress; the final numbered epoch always commits and records
-        the stream batch id in the marker."""
+        marks an unnumbered sub-epoch of batch `sub_of`: skipped when
+        no partition can progress, and its marker records the
+        sub-batch mark so a post-crash redelivery reads the batch from
+        the pending store instead of unioning it twice; the final
+        numbered epoch always commits and records the stream batch
+        id."""
         from canal_spark.multi import apply_route, recorded_group_wms
 
         marker = self._marker()
@@ -482,23 +534,8 @@ class StreamingMultiUpsert:
                 if pending is not None
                 else self.spark.createDataFrame([], CHANGELOG_DDL)
             )
-        if ckpts:
-            committed_map = F.create_map(*[F.lit(x) for kv in ckpts.items() for x in kv])
-            inp = inp.filter(
-                F.col("lsn") > F.coalesce(committed_map[F.col("source_partition")], F.lit(-1))
-            )
-
-        clamped = inp
-        if pending_ddls:
-            clamp: dict[int, int] = {}
-            for d in pending_ddls:
-                p = d["source_partition"]
-                clamp[p] = min(clamp.get(p, d["lsn"] - 1), d["lsn"] - 1)
-            clamp_map = F.create_map(*[F.lit(x) for kv in clamp.items() for x in kv])
-            clamped = inp.filter(
-                F.col("lsn")
-                <= F.coalesce(clamp_map[F.col("source_partition")], F.lit(1 << 62))
-            )
+        inp = _offset_filter(inp, ckpts)
+        clamped = _clamp_below_ddls(inp, pending_ddls)
 
         recorded = recorded_group_wms(self.routes, g)
         wms = recorded if recorded is not None else committed_watermarks(clamped, floors=ckpts)
@@ -520,12 +557,7 @@ class StreamingMultiUpsert:
         # member commit so a crash at any later point finds the store
         # in place (an unreferenced store from a crashed attempt is
         # invisible — only the marker refs it)
-        wm_map = F.create_map(*[F.lit(x) for kv in wms.items() for x in kv]) if wms else None
-        held = (
-            inp.filter(F.col("lsn") > F.coalesce(wm_map[F.col("source_partition")], F.lit(-1)))
-            if wm_map is not None
-            else inp
-        )
+        held = _held_past_wms(inp, wms)
         pending_dir = os.path.join(self.group.root, "pending", f"epoch={g}")
         held.repartition(F.col("source_partition")).write.mode("overwrite").parquet(pending_dir)
         pending_files = [
@@ -560,6 +592,7 @@ class StreamingMultiUpsert:
             new_ckpts,
             table_epochs,
             stream_batch_id=batch_id,
+            sub_batch_id=sub_of if batch_id is None else None,
             pending=pending_files,
         )
         if won:

@@ -241,3 +241,51 @@ def test_stream_multi_ddl_crash_mid_replication_rolls_forward(
     from tests.test_multi_table import _assert_multi_ddl_final
 
     _assert_multi_ddl_final(spark, smu, changelog_dir, ddls)
+
+
+def test_stream_multi_crash_between_sub_epoch_and_final_no_duplicates(
+    spark, changelog_dir, tmp_path, smddl_dir, monkeypatch
+):
+    """The group-level double-union hazard: a sub-epoch marker absorbs
+    the micro-batch into the GROUP pending store, then the run crashes
+    before the final numbered marker. The redelivered batch must come
+    from the pending store only (the marker's sub-batch mark), never
+    unioned with batch_df again."""
+    from tests.test_multi_table import _assert_multi_ddl_final
+
+    ddl_path, ddls = smddl_dir
+    routes = _routes(tmp_path)
+    smu = StreamingMultiUpsert(
+        spark, routes, str(tmp_path / "grp"), ddl_events_path=ddl_path
+    )
+    files = sorted(
+        os.path.join(changelog_dir, f)
+        for f in os.listdir(changelog_dir)
+        if f.endswith(".parquet")
+    )
+    batch0 = spark.read.parquet(files[0])
+    real = smu._apply_group_ddl
+    calls: list[str] = []
+
+    def crashing(d, g, ckpts):
+        calls.append(d["kind"])
+        if len(calls) == 2:  # rename, AFTER the first sub-epoch absorbed
+            raise RuntimeError("simulated crash after the sub-epoch")
+        return real(d, g, ckpts)
+
+    monkeypatch.setattr(smu, "_apply_group_ddl", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        smu.apply_batch(batch0, batch_id=0)
+    monkeypatch.setattr(smu, "_apply_group_ddl", real)
+    marker = smu.group.marker(smu.group.current_epoch())
+    assert marker["stream_sub_batch_id"] == 0  # the sub-epoch published
+
+    assert smu.apply_batch(batch0, batch_id=0) is True  # the redelivery
+    for route in routes:
+        dups = (
+            route.table.read(spark).groupBy("doc_id").count().filter("count > 1").count()
+        )
+        assert dups == 0, route.name
+    for i, f in enumerate(files[1:], start=1):
+        smu.apply_batch(spark.read.parquet(f), batch_id=i)
+    _assert_multi_ddl_final(spark, smu, changelog_dir, ddls)

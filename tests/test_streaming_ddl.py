@@ -99,3 +99,75 @@ def test_stream_ddl_restart_preserves_watermark(
     q = su2.start(src, ckpt, max_files_per_trigger=1)
     assert q.awaitTermination(300)
     _final_assertions(spark, t2, oracle_state, ddls)
+
+
+def test_stream_crash_between_sub_epoch_and_final_no_duplicates(
+    spark, changelog_dir, oracle_state, tmp_path, sddl_dir, monkeypatch
+):
+    """THE double-union hazard: a sub-epoch absorbs the micro-batch
+    into the pending store, then the run crashes before the final
+    numbered epoch. The redelivered batch must NOT be unioned with the
+    pending store again (the durable sub-batch mark) — without the
+    guard every held event applies twice and duplicate doc_id rows
+    reach the table."""
+    ddl_path, ddls = sddl_dir
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    su = StreamingUpsert(spark, table, ddl_events_path=ddl_path)
+    files = sorted(
+        os.path.join(changelog_dir, f)
+        for f in os.listdir(changelog_dir)
+        if f.endswith(".parquet")
+    )
+    batch0 = spark.read.parquet(files[0])
+    real = su._apply_ddl
+    calls: list[str] = []
+
+    def crashing(d):
+        calls.append(d["kind"])
+        if len(calls) == 2:  # the in-batch DDL, AFTER the first sub-epoch
+            raise RuntimeError("simulated crash after the sub-epoch")
+        return real(d)
+
+    monkeypatch.setattr(su, "_apply_ddl", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        su.apply_batch(batch0, batch_id=0)
+    monkeypatch.setattr(su, "_apply_ddl", real)
+    # the sub-epoch committed and absorbed the batch
+    assert table.snapshot()["meta"]["stream_sub_batch_id"] == 0
+
+    assert su.apply_batch(batch0, batch_id=0) is True  # the redelivery
+    dups = table.read(spark).groupBy("doc_id").count().filter("count > 1").count()
+    assert dups == 0
+    for i, f in enumerate(files[1:], start=1):
+        su.apply_batch(spark.read.parquet(f), batch_id=i)
+    _final_assertions(spark, table, oracle_state, ddls)
+
+
+def test_stream_lost_commit_race_retries_not_lost(
+    spark, changelog_dir, oracle_state, tmp_path, monkeypatch
+):
+    """A concurrent maintenance commit stealing the epoch number must
+    not lose the micro-batch: foreachBatch ignores the callback's
+    return value and Spark checkpoints the batch regardless, so the
+    streaming DML commit retries on a fresh snapshot exactly like the
+    batch-engine paths."""
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    su = StreamingUpsert(spark, table)
+    real_commit = table.commit
+    stolen = {"done": False}
+
+    def stealing_commit(epoch, *a, **kw):
+        if not stolen["done"]:
+            stolen["done"] = True
+            # the concurrent writer wins this epoch number first
+            assert real_commit(epoch, {}, {}, [], meta={"thief": True})
+            return False
+        return real_commit(epoch, *a, **kw)
+
+    monkeypatch.setattr(table, "commit", stealing_commit)
+    assert su.apply_batch(spark.read.parquet(changelog_dir), batch_id=0) is True
+    assert stolen["done"]
+    assert table.snapshot()["meta"]["stream_batch_id"] == 0
+    from tests.conftest import assert_state_equals_oracle
+
+    assert_state_equals_oracle(table.read(spark), oracle_state)
