@@ -212,22 +212,10 @@ class MultiTableEngine:
         marker advancing the group-level watermark. Crash-idempotent:
         a member whose ddl_wm already covers the position is skipped on
         roll-forward, exactly like the group_epoch skip for DML."""
-        from canal_spark.engine import apply_schema_update, parse_ddl_payload
-
-        pos = (d["lsn"], d["source_partition"])
-        payload = parse_ddl_payload(d)
-        table_epochs: dict[str, int] = {}
-        for route in self.routes:
-            snap = route.table.snapshot() if route.table.current_epoch() is not None else {}
-            mwm = snap.get("meta", {}).get("ddl_wm")
-            if mwm and (int(mwm[0]), int(mwm[1])) >= pos:
-                table_epochs[route.name] = snap["epoch"]  # crashed run applied it
-                continue
-            apply_schema_update(
-                route.table, d["kind"], payload, meta={"ddl_wm": list(pos)}
-            )
-            table_epochs[route.name] = route.table.current_epoch()
-        self._publish_marker(g, ckpts, table_epochs, ddl_wm=list(pos))
+        table_epochs = replicate_ddl_to_routes(self.routes, d)
+        self._publish_marker(
+            g, ckpts, table_epochs, ddl_wm=[d["lsn"], d["source_partition"]]
+        )
         return GroupEpochResult(
             g, {r.name: 0 for r in self.routes}, table_epochs, dict(ckpts), ddl=d
         )
@@ -375,6 +363,29 @@ class MultiTableEngine:
             if self.run_epoch() is None:
                 break
         return self.group.current_epoch() or 0
+
+
+def replicate_ddl_to_routes(routes: list[TableRoute], d: dict) -> dict[str, int]:
+    """Apply one A3 DDL event to every route table as its own
+    metadata-only epoch carrying `ddl_wm`, skipping members whose
+    watermark already covers the position (the crash-mid-replication
+    roll-forward). Shared by the batch MultiTableEngine and the
+    streaming front-end — only the group-marker publish differs.
+    Returns the per-route table epochs for the marker."""
+    from canal_spark.engine import apply_schema_update, parse_ddl_payload
+
+    pos = (d["lsn"], d["source_partition"])
+    payload = parse_ddl_payload(d)
+    table_epochs: dict[str, int] = {}
+    for route in routes:
+        snap = route.table.snapshot() if route.table.current_epoch() is not None else {}
+        mwm = snap.get("meta", {}).get("ddl_wm")
+        if mwm and (int(mwm[0]), int(mwm[1])) >= pos:
+            table_epochs[route.name] = snap["epoch"]  # crashed run applied it
+            continue
+        apply_schema_update(route.table, d["kind"], payload, meta={"ddl_wm": list(pos)})
+        table_epochs[route.name] = route.table.current_epoch()
+    return table_epochs
 
 
 def recorded_group_wms(routes: list[TableRoute], g: int) -> dict[int, int] | None:

@@ -445,22 +445,12 @@ class StreamingMultiUpsert:
     def _apply_group_ddl(self, d: dict, g: int, ckpts: dict[int, int]) -> None:
         """Replicate one ready DDL to every route table as group epoch
         g (same member-skip roll-forward as MultiTableEngine)."""
-        from canal_spark.engine import apply_schema_update, parse_ddl_payload
+        from canal_spark.multi import replicate_ddl_to_routes
 
-        pos = (d["lsn"], d["source_partition"])
-        payload = parse_ddl_payload(d)
-        table_epochs: dict[str, int] = {}
-        for route in self.routes:
-            snap = route.table.snapshot() if route.table.current_epoch() is not None else {}
-            mwm = snap.get("meta", {}).get("ddl_wm")
-            if mwm and (int(mwm[0]), int(mwm[1])) >= pos:
-                table_epochs[route.name] = snap["epoch"]  # crashed run applied it
-                continue
-            apply_schema_update(
-                route.table, d["kind"], payload, meta={"ddl_wm": list(pos)}
-            )
-            table_epochs[route.name] = route.table.current_epoch()
-        self._publish_marker(g, ckpts, table_epochs, ddl_wm=list(pos))
+        table_epochs = replicate_ddl_to_routes(self.routes, d)
+        self._publish_marker(
+            g, ckpts, table_epochs, ddl_wm=[d["lsn"], d["source_partition"]]
+        )
 
     # ------------------------------------------------------------ batch
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
