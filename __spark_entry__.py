@@ -81,6 +81,9 @@ _SAMPLE_FIRST = [
     "session_window_counts",
     "windowed_event_counts",
     # new or contract-changed in r5
+    "incremental_mv_refresh",
+    "rollback_replay_parity",
+    "incremental_changes_consistent",
     "stream_replay_parity",
     "token_budget_cap",
     "dedup_incremental",

@@ -184,6 +184,50 @@ def cmd_multi_stream(args) -> int:
     return 0
 
 
+def cmd_group_status(args) -> int:
+    """Instance-level position: the authoritative group marker (shared
+    cursor, member table epochs, stream batch id, ddl watermark).
+    Driver-side file read — no Spark session."""
+    from canal_spark.multi import GroupLog
+
+    g = GroupLog(args.group_dir)
+    cur = g.current_epoch()
+    out = {"group_epoch": cur}
+    if cur is not None:
+        m = g.marker(cur)
+        out.update(
+            {
+                "checkpoints": m.get("checkpoints", {}),
+                "tables": m.get("tables", {}),
+                "stream_batch_id": m.get("stream_batch_id"),
+                "ddl_wm": m.get("ddl_wm"),
+                "pending_files": len(m.get("pending", [])),
+            }
+        )
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_rollback(args) -> int:
+    """Roll the table back to an earlier epoch (new snapshot carrying
+    the old state + checkpoints verbatim): the poisoned-batch recovery
+    path. Pure metadata — no Spark session."""
+    from canal_spark.plans.table import SnapshotTable
+
+    table = SnapshotTable(args.table)
+    new_epoch = table.rollback_to(args.epoch)
+    print(
+        json.dumps(
+            {
+                "epoch": new_epoch,
+                "restored": args.epoch,
+                "checkpoints": table.snapshot()["checkpoints"],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_status(args) -> int:
     from canal_spark.plans.cursors import CursorRegistry
     from canal_spark.plans.table import SnapshotTable
@@ -367,6 +411,19 @@ def main(argv: list[str] | None = None) -> int:
             mp.add_argument("--lsn-budget", type=int, default=1_000_000)
             mp.add_argument("--max-epochs", type=int, default=10_000)
         mp.set_defaults(fn=fn)
+
+    gs = sub.add_parser(
+        "group-status", help="print the group marker (multi-table position) as JSON"
+    )
+    gs.add_argument("--group-dir", required=True)
+    gs.set_defaults(fn=cmd_group_status)
+
+    rb = sub.add_parser(
+        "rollback", help="roll the table back to an earlier epoch (metadata-only)"
+    )
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--epoch", type=int, required=True)
+    rb.set_defaults(fn=cmd_rollback)
 
     st = sub.add_parser("status", help="print table position/meta as JSON")
     st.add_argument("--table", required=True)

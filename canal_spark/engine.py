@@ -657,7 +657,8 @@ def apply_schema_update(table, kind: str, payload: dict, meta: dict | None = Non
     front-end's in-stream DDL path.
 
     kinds: ADD_COLUMN {name,type} | RENAME_COLUMN {from,to} |
-           WIDEN_TYPE {name,to}  (SURVEY.md §2 X3 / FIXTURES.md A3)
+           WIDEN_TYPE {name,to} | DROP_COLUMN {name}
+           (SURVEY.md §2 X3 / FIXTURES.md A3)
 
     Optimistic like every other commit path: a concurrent maintenance
     commit can steal the epoch number, in which case commit() returns
@@ -713,6 +714,20 @@ def _try_schema_update(
         fld = _field(fields, payload["name"])
         _check_widening(fld["type"], payload["to"])
         fld["type"] = payload["to"]
+    elif kind == "DROP_COLUMN":
+        # metadata-only, like Iceberg drop-column: the field leaves the
+        # current schema, old files keep their bytes, _normalize simply
+        # never projects the dropped field id again. A later ADD_COLUMN
+        # reusing the NAME gets a fresh field id, so dropped data can
+        # never resurrect under the new column (field-id mapping, not
+        # name mapping — tests/test_schema_evolution.py pins this).
+        if payload["name"] == snap["key_col"]:
+            raise ValueError(
+                f"DROP_COLUMN: {payload['name']!r} is the table key "
+                "column and cannot be dropped"
+            )
+        fld = _field(fields, payload["name"])
+        fields.remove(fld)
     else:
         raise ValueError(f"unknown DDL kind: {kind}")
     epoch = (table.current_epoch() or 0) + 1

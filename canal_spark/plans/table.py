@@ -741,7 +741,11 @@ class SnapshotTable:
         return spark.read.parquet(*paths) if paths else None
 
     def read_changes(
-        self, spark: SparkSession, from_epoch: int, to_epoch: int | None = None
+        self,
+        spark: SparkSession,
+        from_epoch: int,
+        to_epoch: int | None = None,
+        with_before: bool = False,
     ) -> DataFrame:
         """Net row-level changes between two snapshots, as a changelog
         (Delta CDF / Iceberg incremental-read analog): one row per key
@@ -774,6 +778,19 @@ class SnapshotTable:
         `to_epoch` is resolved ONCE (both sides and the schema come
         from the same snapshot), so a concurrent commit cannot mix
         views; requires from_epoch <= to_epoch.
+
+        `with_before=True` additionally emits `before_<col>` columns —
+        the OLD visible image (canal FlatMessage's `old` field / Delta
+        CDF's update_preimage analog): populated for UPDATE and DELETE,
+        NULL for INSERT. This is what lets a downstream consumer
+        RETRACT the superseded contribution without holding its own
+        per-key state (e.g. incremental aggregate maintenance,
+        operators/mv.py). Old-side payload columns ride the SAME
+        full-outer join — no extra shuffle, just wider old-side rows
+        over the already-pruned differing buckets. Before-images are
+        projected through the `to_epoch` schema on BOTH sides
+        (_normalize maps by field id), so columns added between the two
+        epochs read as NULL before-values.
         """
         snap_b = self.snapshot(to_epoch)
         snap_a = self.snapshot(from_epoch)
@@ -793,11 +810,38 @@ class SnapshotTable:
             for bk in set(snap_a["files"]) | set(snap_b["files"])
             if snap_a["files"].get(bk) != snap_b["files"].get(bk)
         )
+        # before-images: the old side carries its payload too, renamed
+        # so the join output stays unambiguous. A column added between
+        # the two epochs has no old-side value — typed NULL (field-id
+        # mapping would do the same had the old FILES been read under
+        # the new schema).
+        a_fields = {
+            f["name"] for f in snap_a["schemas"][str(snap_a["schema_ver"])]
+        }
+        b_types = {
+            f["name"]: f["type"]
+            for f in snap_b["schemas"][str(snap_b["schema_ver"])]
+        }
+        before_cols = (
+            [
+                (
+                    F.col(c).cast(b_types[c])
+                    if c in a_fields
+                    else F.lit(None).cast(b_types[c])
+                ).alias(f"_before_{c}")
+                for c in cols
+            ]
+            if with_before
+            else []
+        )
         a = self.read(
             spark, epoch=snap_a["epoch"], buckets=diff_buckets,
             with_bucket=False, internal=True,
         ).select(
-            key, F.col("_seq").alias("_seq_a"), F.col("_tombstone").alias("_tomb_a")
+            key,
+            *before_cols,
+            F.col("_seq").alias("_seq_a"),
+            F.col("_tombstone").alias("_tomb_a"),
         )
         b = self.read(
             spark, epoch=snap_b["epoch"], buckets=diff_buckets,
@@ -823,11 +867,142 @@ class SnapshotTable:
                     F.when(F.col("op") != "DELETE", F.col(c)).alias(c)
                     for c in cols
                 ],
+                *[
+                    F.when(F.col("op") != "INSERT", F.col(f"_before_{c}")).alias(
+                        f"before_{c}"
+                    )
+                    for c in (cols if with_before else [])
+                ],
                 F.coalesce(F.col("_seq_b"), F.col("_seq_a")).alias("_seq"),
             )
         )
 
+    # ------------------------------------------------------------- tags
+    _TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+    @property
+    def tags_dir(self) -> str:
+        return os.path.join(self.meta_dir, "tags")
+
+    def tag(self, name: str, epoch: int | None = None) -> int:
+        """Pin a snapshot under a name (Iceberg tag analog): the tagged
+        epoch is excluded from `expire_snapshots`, so its manifest —
+        and through `remove_orphans`' reference scan, its data files —
+        survive retention until the tag is dropped. Named releases of
+        a training-data table ("v1-train") are the use case; pair with
+        `rollback_to(tag_epoch(name))` for named restore points.
+
+        Tags are immutable and exclusive: re-tagging an existing name
+        raises (drop it first) — two writers racing the same name see
+        exactly one winner (`os.link` publish, like snapshot commits).
+        Returns the tagged epoch."""
+        if not self._TAG_NAME_RE.match(name):
+            raise ValueError(f"invalid tag name {name!r}")
+        snap = self.snapshot(epoch)  # raises if the epoch is gone
+        os.makedirs(self.tags_dir, exist_ok=True)
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"epoch": snap["epoch"]}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, os.path.join(self.tags_dir, f"{name}.json"))
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+        return snap["epoch"]
+
+    def tags(self) -> dict[str, int]:
+        if not os.path.isdir(self.tags_dir):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(self.tags_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.tags_dir, fn)) as f:
+                    out[fn[:-5]] = int(json.load(f)["epoch"])
+        return out
+
+    def tag_epoch(self, name: str) -> int:
+        try:
+            with open(os.path.join(self.tags_dir, f"{name}.json")) as f:
+                return int(json.load(f)["epoch"])
+        except FileNotFoundError:
+            raise KeyError(f"no such tag: {name!r}") from None
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self.tags_dir, f"{name}.json"))
+        except FileNotFoundError:
+            raise KeyError(f"no such tag: {name!r}") from None
+
     # ------------------------------------------------- maintenance / GC
+    def rollback_to(self, epoch: int) -> int:
+        """Roll the table back to the state of `epoch` by committing a
+        NEW snapshot that carries that epoch's files / checkpoints /
+        schema verbatim (Iceberg `rollback_to_snapshot`: the pointer
+        moves, history stays append-only — the bad epochs remain
+        readable for forensics until expired). Returns the new epoch.
+
+        Because the rolled-back snapshot also restores the CHECKPOINT
+        watermarks, a subsequent engine run re-reads the changelog from
+        `epoch`'s positions and re-applies the undone events — the
+        recovery path for a poisoned batch: rollback, fix the source
+        (or the filter), resume. Exactly-once still holds: the rewind
+        is itself a recorded epoch, not a mutation of history.
+
+        The target must still be within the snapshot-retention window
+        (`expire_snapshots` erases older manifests — and
+        `remove_orphans` may then have deleted their unreferenced data
+        files), and must not sit behind a `rebucket` boundary: file
+        entries are copied verbatim, so they must mean the same thing
+        under the current bucket count. Both violations raise.
+
+        Optimistic like every commit: returns the new epoch only once
+        the snapshot file is published; a lost race (concurrent
+        maintenance stole the number) retries on the fresh state."""
+        for _ in range(5):
+            cur = self.current_epoch()
+            if cur is None:
+                raise ValueError("rollback_to: table has no committed epoch")
+            if epoch > cur:
+                raise ValueError(f"rollback_to: epoch {epoch} > current {cur}")
+            old = self.snapshot(epoch)  # raises if expired/never existed
+            if old["n_buckets"] != self.snapshot(cur)["n_buckets"]:
+                raise ValueError(
+                    "rollback_to: target predates a rebucket "
+                    f"({old['n_buckets']} -> {self.snapshot(cur)['n_buckets']} "
+                    "buckets); file routing would not match"
+                )
+            if epoch == cur:
+                return cur
+            new_snap = {
+                "epoch": cur + 1,
+                "parent": cur,
+                "n_buckets": old["n_buckets"],
+                "key_col": old["key_col"],
+                "target_file_rows": old.get("target_file_rows"),
+                "schema_ver": old["schema_ver"],
+                "schemas": old["schemas"],
+                "files": old["files"],
+                "checkpoints": old["checkpoints"],
+                "lineage": [],
+                "pending": old.get("pending", []),
+                "meta": {
+                    **old.get("meta", {}),
+                    "rollback_of": cur,
+                    "rollback_to": epoch,
+                },
+                "files_chain": 0,
+            }
+            try:
+                self._write_snapshot(new_snap)
+            except FileExistsError:
+                continue  # lost the number race — replan on fresh state
+            self._snap_cache[new_snap["epoch"]] = new_snap
+            return new_snap["epoch"]
+        raise RuntimeError("rollback_to: lost the commit race 5 times")
+
     def expire_snapshots(self, retain_last: int = 2) -> list[int]:
         """Drop snapshot manifests older than the last `retain_last`
         epochs (Iceberg's expire_snapshots). Time travel remains

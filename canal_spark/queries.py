@@ -2601,3 +2601,129 @@ def multi_table_replay(spark, sf):
     return spark.createDataFrame(
         rows, "tbl string, doc_id string, last_tok int, n_tok int, source string"
     )
+
+
+# ======================================================================
+# incremental view maintenance + rollback + CDF before-images (r5)
+# ======================================================================
+@q(
+    "incremental_mv_refresh",
+    f"""WITH {MAPPED.strip()},
+filtered AS (SELECT * FROM mapped WHERE op IN ('INSERT','UPDATE','DELETE')),
+lww AS (
+  SELECT key, op, value,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY lsn DESC) AS rn
+  FROM filtered
+),
+final AS (
+  SELECT key, CAST(FLOOR(value) AS BIGINT) AS v
+  FROM lww WHERE rn = 1 AND op <> 'DELETE'
+)
+SELECT 'g' || CAST(v % 8 AS VARCHAR) AS source,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(v) AS BIGINT) AS sum_value
+FROM final GROUP BY 1""",
+)
+def incremental_mv_refresh(spark, sf):
+    """Incrementally-maintained materialized aggregate (operators/mv.py)
+    driven by the CDF's before-images: the events log replays through
+    the REAL engine in several epochs, the MV refreshes after each one
+    applying only +after/-before contributions (retracting across group
+    migrations when an update moves a key's value into another value
+    band), and the final MV rows are checked VALUE-LEVEL against
+    DuckDB's from-scratch LWW + GROUP BY. Downstream-consumer parity:
+    canal FlatMessage's `old` field exists for exactly this retraction
+    [C: protocol/.../FlatMessage.java :: old]."""
+    import shutil
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.operators.mv import MaterializedAggregate
+    from canal_spark.plans.table import SnapshotTable
+
+    ch = load(spark, sf, "events").select(
+        F.expr(OP_SQL_CASE).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        (F.col("user_id") % 8).cast("int").alias("source_partition"),
+        F.col("event_id").alias("tx_id"),
+        F.lit(True).alias("tx_commit"),
+        F.col("ts"),
+        F.array(F.floor("value").cast("int")).alias("tokens"),
+        F.floor("value").cast("int").alias("n_tok"),
+        F.concat(F.lit("g"), (F.floor("value") % 8).cast("string")).alias("source"),
+        F.lit(1).cast("int").alias("schema_ver"),
+    )
+    tmp = tempfile.mkdtemp(prefix="canal_mv_")
+    try:
+        ch.write.mode("overwrite").parquet(f"{tmp}/log")
+        table = SnapshotTable.create(f"{tmp}/t", n_buckets=8)
+        mv = MaterializedAggregate(
+            table, f"{tmp}/mv", group_col="source", value_col="n_tok"
+        )
+        eng = CdcEngine(spark, f"{tmp}/log", table, lsn_budget=2_500)
+        while eng.run_epoch() is not None:
+            mv.refresh(spark)  # incremental: one CDF delta per epoch
+        rows = mv.read(spark).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "source string, cnt bigint, sum_value bigint")
+
+
+@q(
+    "rollback_replay_parity",
+    "SELECT TRUE AS restored_state_matches, TRUE AS resumed_equals_direct, "
+    "TRUE AS history_still_readable",
+)
+def rollback_replay_parity(spark, sf):
+    """rollback_to (Iceberg rollback_to_snapshot analog): rolling back
+    restores BOTH the data state and the checkpoint watermarks of the
+    target epoch; a resumed engine then re-applies the undone events
+    and converges to the same final state as an uninterrupted replay;
+    the undone epochs stay time-travel-readable (append-only history).
+    Invariants computed in Spark over a deterministic mini-replay;
+    VALUES oracle driver-checks them (the r4 boolean pattern)."""
+    import shutil
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+
+    def _same(x, y):
+        return x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+
+    tmp = tempfile.mkdtemp(prefix="canal_rb_")
+    try:
+        log = generate_changelog(
+            f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+        )
+        direct = SnapshotTable.create(f"{tmp}/direct", n_buckets=4)
+        CdcEngine(spark, log, direct, lsn_budget=10**9).run_to_completion()
+
+        t = SnapshotTable.create(f"{tmp}/t", n_buckets=4)
+        eng = CdcEngine(spark, log, t, lsn_budget=300)
+        eng.run_epoch(), eng.run_epoch()
+        e_good = t.current_epoch()
+        good = t.read(spark, with_bucket=False).select(*cols)
+        eng.run_epoch(), eng.run_epoch()
+        bad_epoch = t.current_epoch()
+        t.rollback_to(e_good)
+        restored = _same(t.read(spark, with_bucket=False).select(*cols), good)
+        # fresh handle resumes from the RESTORED checkpoints
+        t2 = SnapshotTable(f"{tmp}/t")
+        CdcEngine(spark, log, t2, lsn_budget=10**9).run_to_completion()
+        resumed = _same(
+            t2.read(spark, with_bucket=False).select(*cols),
+            direct.read(spark, with_bucket=False).select(*cols),
+        )
+        history = t2.read(spark, epoch=bad_epoch, with_bucket=False).count() > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(restored, resumed, history)],
+        "restored_state_matches boolean, resumed_equals_direct boolean, "
+        "history_still_readable boolean",
+    )

@@ -1,6 +1,8 @@
 """End-to-end drive for spark-submit verification (see
-.claude/skills/verify): gen | replay-some | resume | rerun | parity.
-Each phase runs in its own JVM so resume is a real cold start."""
+.claude/skills/verify): gen | replay-some | resume | rerun | parity |
+rollback | multi | stream | stream-multi (CoW phases also take a -mor
+suffix). Each phase runs in its own JVM so resume is a real cold
+start."""
 
 from __future__ import annotations
 
@@ -76,6 +78,37 @@ def main(phase: str) -> None:
         bad = sum(1 for g, e in zip(got.tokens, exp.tokens) if list(g) != list(e))
         assert bad == 0, f"{bad} token-array mismatches"
         print(f"VERIFY parity: {len(got)} rows byte-exact vs pandas oracle")
+    elif phase == "rollback":
+        # poisoned-batch recovery drive (run after parity): rewind the
+        # fully-replayed table two epochs, verify the checkpoints moved
+        # back with it, then a FRESH handle re-applies the undone
+        # events and must land byte-exact on the oracle again
+        sys.path.insert(0, "/root/repo")
+        from tests.oracle_replay import replay
+
+        table = SnapshotTable(table_path)
+        final_epoch = table.current_epoch()
+        target = final_epoch - 2
+        new_epoch = table.rollback_to(target)
+        assert new_epoch == final_epoch + 1
+        assert table.snapshot()["checkpoints"] == table.snapshot(target)["checkpoints"]
+        rolled_rows = table.read(spark).count()
+        t2 = SnapshotTable(table_path)
+        CdcEngine(spark, LOG, t2, lsn_budget=8000, **kw).run_to_completion()
+        got = (
+            t2.read(spark)
+            .select("doc_id", "tokens", "n_tok", "source")
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        exp = replay(LOG).sort_values("doc_id").reset_index(drop=True)
+        assert list(got.doc_id) == list(exp.doc_id)
+        assert list(got.n_tok) == list(exp.n_tok)
+        bad = sum(1 for g, e in zip(got.tokens, exp.tokens) if list(g) != list(e))
+        assert bad == 0, f"{bad} token-array mismatches after rollback+resume"
+        print(
+            f"VERIFY rollback: rewound {final_epoch}->{target} "
+            f"({rolled_rows} rows), resumed to byte-exact parity ({len(got)} rows)"
+        )
     elif phase == "multi":
         # multi-table routing drive: partial replay, fresh-handle
         # resume, per-route parity vs the pandas oracle's subscription

@@ -209,3 +209,8 @@ def test_cli_multi_replay_and_multi_stream(changelog_dir, tmp_path):
     )
     assert s1["rows"] == r1["rows"]
     assert s1["checkpoints"] == r1["checkpoints"]
+    # group-status reads the marker without a Spark session
+    gs = _run("group-status", "--group-dir", grp)
+    assert gs["group_epoch"] == r1["group_epoch"]
+    assert gs["checkpoints"] == {str(k): v for k, v in r1["checkpoints"].items()}
+    assert set(gs["tables"]) == {"low", "high"}

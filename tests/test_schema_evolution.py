@@ -127,3 +127,46 @@ def test_ddl_retries_after_lost_commit_race(spark, changelog_dir, tmp_path):
     snap = table.snapshot()
     names = [f["name"] for f in snap["schemas"][str(snap["schema_ver"])]]
     assert "lang" in names  # the DDL landed despite the lost race
+
+
+def test_drop_column_metadata_only(spark, changelog_dir, oracle_state, tmp_path):
+    """DROP_COLUMN removes the field from the current schema without
+    rewriting data; pre-drop files read fine, post-drop epochs simply
+    stop storing the column. A later ADD_COLUMN reusing the NAME gets a
+    fresh field id, so the dropped data never resurrects."""
+    table, eng = _engine(spark, changelog_dir, tmp_path, budget=800)
+    eng.run_epoch()
+    e = eng.apply_schema_update("DROP_COLUMN", {"name": "source"})
+    snap = table.snapshot()
+    assert snap["epoch"] == e and snap["files"] == table.snapshot(e - 1)["files"]
+    eng.run_epoch()
+    df = table.read(spark, with_bucket=False)
+    assert df.columns == ["doc_id", "tokens", "n_tok"]
+
+    # reuse the name: fresh field id -> at the ADD epoch (before any
+    # further DML) every existing row reads NULL; the dropped values
+    # must NOT resurrect under the new column
+    e_add = eng.apply_schema_update("ADD_COLUMN", {"name": "source", "type": "string"})
+    at_add = table.read(spark, epoch=e_add, with_bucket=False)
+    assert at_add.columns == ["doc_id", "tokens", "n_tok", "source"]
+    assert at_add.filter(at_add.source.isNotNull()).count() == 0
+
+    # post-add DML repopulates the new column from the stream
+    eng.run_to_completion()
+    df2 = table.read(spark, with_bucket=False)
+    assert df2.filter(df2.source.isNotNull()).count() > 0
+
+    # non-schema parity with the oracle is untouched by the drop cycle
+    got = df2.toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = oracle_state.sort_values("doc_id").reset_index(drop=True)
+    assert list(got.doc_id) == list(exp.doc_id)
+    assert list(got.n_tok) == list(exp.n_tok)
+
+
+def test_drop_column_rejections(spark, changelog_dir, tmp_path):
+    table, eng = _engine(spark, changelog_dir, tmp_path)
+    with pytest.raises(ValueError, match="key column"):
+        eng.apply_schema_update("DROP_COLUMN", {"name": "doc_id"})
+    with pytest.raises(ValueError, match="no such column"):
+        eng.apply_schema_update("DROP_COLUMN", {"name": "ghost"})
+    assert table.current_epoch() == 0
