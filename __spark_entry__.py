@@ -83,6 +83,7 @@ _SAMPLE_FIRST = [
     # new or contract-changed in r5
     "incremental_mv_refresh",
     "rollback_replay_parity",
+    "tag_retention_parity",
     "incremental_changes_consistent",
     "stream_replay_parity",
     "token_budget_cap",

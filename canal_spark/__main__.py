@@ -228,6 +228,24 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    """Pin (or release / list) named snapshots — tag --name pins, --drop
+    releases, neither lists. Pure metadata, no Spark session; a pinned
+    epoch survives expire_snapshots + remove_orphans until dropped."""
+    from canal_spark.plans.table import SnapshotTable
+
+    table = SnapshotTable(args.table)
+    if args.drop:
+        table.drop_tag(args.drop)
+        print(json.dumps({"dropped": args.drop, "tags": table.tags()}))
+    elif args.name:
+        epoch = table.tag(args.name, epoch=args.epoch)
+        print(json.dumps({"tag": args.name, "epoch": epoch}))
+    else:
+        print(json.dumps({"tags": table.tags()}))
+    return 0
+
+
 def cmd_status(args) -> int:
     from canal_spark.plans.cursors import CursorRegistry
     from canal_spark.plans.table import SnapshotTable
@@ -424,6 +442,15 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--table", required=True)
     rb.add_argument("--epoch", type=int, required=True)
     rb.set_defaults(fn=cmd_rollback)
+
+    tg = sub.add_parser(
+        "tag", help="pin/release/list named snapshots (metadata-only)"
+    )
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", help="tag to create (default: list tags)")
+    tg.add_argument("--epoch", type=int, default=None, help="epoch to pin (default: current)")
+    tg.add_argument("--drop", help="tag name to release")
+    tg.set_defaults(fn=cmd_tag)
 
     st = sub.add_parser("status", help="print table position/meta as JSON")
     st.add_argument("--table", required=True)

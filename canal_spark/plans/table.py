@@ -1015,44 +1015,62 @@ class SnapshotTable:
 
         Returns the expired epoch numbers. Lineage carried by expired
         snapshots is folded into the oldest retained snapshot's
-        `lineage_archive` so per-partition totals stay auditable."""
+        `lineage_archive` so per-partition totals stay auditable.
+
+        TAGGED epochs (see `tag`) are never expired, however old: the
+        tag pins the manifest, and `remove_orphans`' reference scan
+        walks every remaining manifest, so the tagged snapshot's data
+        files stay live too. A pinned manifest older than the window is
+        rewritten self-contained (its delta chain materialized) before
+        the manifests it chained through are deleted."""
         cur = self.current_epoch()
         if cur is None:
             return []
         keep_from = max(0, cur - retain_last + 1)
-        expired, archived = [], []
+        tagged = set(self.tags().values())
+        expired, archived, pinned = [], [], []
         for e in range(0, keep_from):
             p = self._snap_path(e)
-            if os.path.exists(p):
-                s = self.snapshot(e)
-                # an expired snapshot may itself carry the archive of an
-                # EARLIER expiration cycle — fold that in first, else the
-                # second cycle silently drops the first cycle's totals
-                archived.extend(s.get("lineage_archive", []))
-                archived.extend(s["lineage"])
-                expired.append(e)
+            if not os.path.exists(p):
+                continue
+            if e in tagged:
+                pinned.append(e)
+                continue
+            s = self.snapshot(e)
+            # an expired snapshot may itself carry the archive of an
+            # EARLIER expiration cycle — fold that in first, else the
+            # second cycle silently drops the first cycle's totals
+            archived.extend(s.get("lineage_archive", []))
+            archived.extend(s["lineage"])
+            expired.append(e)
         if not expired:
             return []
         oldest_kept = next(
             (e for e in range(keep_from, cur + 1) if os.path.exists(self._snap_path(e)))
         )
+
         # snapshot() materializes any delta chain THROUGH the epochs
-        # being expired (they still exist here), so the rewrite below
-        # is always self-contained: the oldest retained snapshot never
-        # references an expired files_base
+        # being expired (they still exist here), so the rewrites below
+        # are always self-contained: no retained manifest — pinned or
+        # in-window — ever references an expired files_base
+        def _rewrite_self_contained(epoch: int, snap: dict) -> None:
+            snap["parent"] = None
+            snap["files_chain"] = 0
+            # rewrite-then-delete: a crash in between leaves extra
+            # (stale) old snapshots, never a missing current one
+            tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump(snap, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, self._snap_path(epoch))
+            self._snap_cache.pop(epoch, None)  # rewritten in place
+
+        for e in pinned:
+            _rewrite_self_contained(e, self.snapshot(e))
         snap = self.snapshot(oldest_kept)
         snap["lineage_archive"] = snap.get("lineage_archive", []) + archived
-        snap["parent"] = None
-        snap["files_chain"] = 0
-        # rewrite-then-delete: a crash in between leaves extra (stale)
-        # old snapshots, never a missing current one
-        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(snap, f, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, self._snap_path(oldest_kept))
-        self._snap_cache.pop(oldest_kept, None)  # rewritten in place
+        _rewrite_self_contained(oldest_kept, snap)
         for e in expired:
             os.remove(self._snap_path(e))
             self._snap_cache.pop(e, None)

@@ -2727,3 +2727,57 @@ def rollback_replay_parity(spark, sf):
         "restored_state_matches boolean, resumed_equals_direct boolean, "
         "history_still_readable boolean",
     )
+
+
+@q(
+    "tag_retention_parity",
+    "SELECT TRUE AS pinned_survives_retention, TRUE AS pinned_rows_identical, "
+    "TRUE AS dropped_tag_expires",
+)
+def tag_retention_parity(spark, sf):
+    """Snapshot tags (Iceberg tag analog): a tagged epoch outlives
+    `expire_snapshots(retain_last=1)` AND `remove_orphans()` with its
+    rows byte-identical (the manifest is rewritten self-contained and
+    the orphan sweep sees its file references); dropping the tag
+    releases the pin, so the next expire removes the manifest. The
+    named-dataset-release (\"v1-train\") retention contract, checked
+    over a deterministic mini-replay; VALUES oracle."""
+    import shutil
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+
+    def _same(x, y):
+        return x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+
+    tmp = tempfile.mkdtemp(prefix="canal_tag_")
+    try:
+        log = generate_changelog(
+            f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+        )
+        t = SnapshotTable.create(f"{tmp}/t", n_buckets=4)
+        eng = CdcEngine(spark, log, t, lsn_budget=300)
+        eng.run_epoch(), eng.run_epoch()
+        pinned = t.tag("v1-train")
+        want = t.read(spark, epoch=pinned, with_bucket=False).select(*cols)
+        want = want.localCheckpoint(eager=True)  # pre-GC image, re-read-proof
+        eng.run_to_completion()
+        expired = t.expire_snapshots(retain_last=1)
+        t.remove_orphans()
+        survives = pinned not in expired and t.snapshot(pinned)["epoch"] == pinned
+        identical = _same(
+            t.read(spark, epoch=pinned, with_bucket=False).select(*cols), want
+        )
+        t.drop_tag("v1-train")
+        dropped = pinned in t.expire_snapshots(retain_last=1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(survives, identical, dropped)],
+        "pinned_survives_retention boolean, pinned_rows_identical boolean, "
+        "dropped_tag_expires boolean",
+    )

@@ -46,6 +46,9 @@ def test_cli_replay_status_maintain_roundtrip(changelog_dir, tmp_path):
     st = _run("status", "--table", table)
     assert st["epoch"] == r2["final_epoch"]
     assert st["checkpoints"] == {str(k): v for k, v in r2["checkpoints"].items()}
+    # pin an old epoch by name before aggressive maintenance
+    tg = _run("tag", "--table", table, "--name", "keep", "--epoch", "1")
+    assert tg == {"tag": "keep", "epoch": 1}
     # maintenance: expire + compact + gc
     mt = _run(
         "maintain", "--table", table, "--expire-retain", "1",
@@ -53,6 +56,10 @@ def test_cli_replay_status_maintain_roundtrip(changelog_dir, tmp_path):
     )
     assert mt["expired_snapshots"] and mt["orphans_removed"] > 0
     assert mt["tombstones_dropped"] >= 0
+    # the pinned epoch survived the expire+gc cycle; drop releases it
+    assert 1 not in mt["expired_snapshots"]
+    assert _run("tag", "--table", table)["tags"] == {"keep": 1}
+    assert _run("tag", "--table", table, "--drop", "keep")["tags"] == {}
     # table still readable at the same row count
     st2 = _run("status", "--table", table)
     assert st2["epoch"] >= st["epoch"]
