@@ -84,6 +84,7 @@ _SAMPLE_FIRST = [
     "incremental_mv_refresh",
     "rollback_replay_parity",
     "tag_retention_parity",
+    "flatmessage_outbox_roundtrip",
     "incremental_changes_consistent",
     "stream_replay_parity",
     "token_budget_cap",

@@ -2781,3 +2781,109 @@ def tag_retention_parity(spark, sf):
         "pinned_survives_retention boolean, pinned_rows_identical boolean, "
         "dropped_tag_expires boolean",
     )
+
+
+@q(
+    "flatmessage_outbox_roundtrip",
+    "SELECT TRUE AS consumer_reconstructs_table, TRUE AS update_old_minimal, "
+    "TRUE AS republish_noop",
+)
+def flatmessage_outbox_roundtrip(spark, sf):
+    """FlatMessage outbox (the MQ-producer half of canal's server,
+    sinks.py::FlatMessageOutbox): every committed epoch's net change
+    feed published as FlatMessage JSON with canal's before-image
+    semantics (UPDATE old = changed columns only, DELETE data = the
+    deleted image), exactly-once via the published-watermark pointer.
+    Invariants: the consumer loop (parse_flat_messages -> per-key LWW)
+    reconstructs the table exactly; every UPDATE old map is minimal
+    (differs from data per column, never carries the pk); rewinding
+    the pointer and re-publishing rewrites a byte-identical content
+    set. VALUES oracle (the r4 boolean pattern)."""
+    import glob
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sinks import FlatMessageOutbox
+    from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+    from canal_spark.sources.flat_message import parse_flat_messages
+
+    def _same(x, y):
+        return x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+
+    tmp = tempfile.mkdtemp(prefix="canal_mq_")
+    try:
+        log = generate_changelog(
+            f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+        )
+        t = SnapshotTable.create(f"{tmp}/t", n_buckets=4)
+        eng = CdcEngine(spark, log, t, lsn_budget=500)
+        outbox = FlatMessageOutbox(t, f"{tmp}/mq")
+        while eng.run_epoch() is not None:
+            outbox.publish(spark)
+
+        files = sorted(glob.glob(f"{tmp}/mq/epoch=*/part-*"))
+        nonempty = [f for f in files if _os.path.getsize(f) > 0]
+        parsed = parse_flat_messages(
+            spark.read.text(nonempty).withColumnRenamed("value", "msg")
+        )
+        got = (
+            parsed.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(F.col("row")["doc_id"]).orderBy(
+                        F.col("es").desc()
+                    )
+                ),
+            )
+            .filter("rn = 1 AND op <> 'DELETE'")
+            .select(
+                F.col("row")["doc_id"].alias("doc_id"),
+                F.from_json(F.col("row")["tokens"], "array<int>").alias("tokens"),
+                F.col("row")["n_tok"].cast("int").alias("n_tok"),
+                F.col("row")["source"].alias("source"),
+            )
+        )
+        cols = ["doc_id", "tokens", "n_tok", "source"]
+        reconstructs = _same(got, t.read(spark, with_bucket=False).select(*cols))
+
+        # a violation: old carries the pk, or an "old" value equal to
+        # the after value (i.e. a column that did not actually change)
+        upd = parsed.filter("op = 'UPDATE'").select("row", "old_row")
+        minimal = (
+            upd.count() > 0
+            and upd.filter(
+                F.map_contains_key("old_row", "doc_id")
+                | F.exists(
+                    F.map_entries("old_row"),
+                    lambda e: e["value"].eqNullSafe(
+                        F.element_at(F.col("row"), e["key"])
+                    ),
+                )
+            ).count()
+            == 0
+        )
+
+        final = outbox.published_epoch()
+        before = set()
+        for f in glob.glob(f"{tmp}/mq/epoch={final}/part-*"):
+            before.update(open(f).read().splitlines())
+        with open(outbox._pointer_path, "w") as f:
+            _json.dump({"epoch": final - 1}, f)
+        republished = outbox.publish(spark) == [final]
+        after = set()
+        for f in glob.glob(f"{tmp}/mq/epoch={final}/part-*"):
+            after.update(open(f).read().splitlines())
+        noop = republished and after == before
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(reconstructs, minimal, noop)],
+        "consumer_reconstructs_table boolean, update_old_minimal boolean, "
+        "republish_noop boolean",
+    )
