@@ -85,6 +85,7 @@ _SAMPLE_FIRST = [
     "rollback_replay_parity",
     "tag_retention_parity",
     "flatmessage_outbox_roundtrip",
+    "cdf_capture_parity",
     "incremental_changes_consistent",
     "stream_replay_parity",
     "token_budget_cap",

@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from canal_spark.engine import CdcEngine  # noqa: E402
 from canal_spark.plans.table import SnapshotTable  # noqa: E402
 from canal_spark.queries import QUERIES  # noqa: E402
@@ -312,6 +314,74 @@ def run_update_heavy(spark, n_events: int, n_update_epochs: int, workdir: str) -
     return out
 
 
+def run_mv_refresh(spark, n_events: int, n_update_epochs: int, workdir: str) -> dict:
+    """Incremental-MV maintenance cost in the steady state write-time
+    CDF capture exists for: a LARGE seeded table (key-dense, 90% bulk,
+    untimed) takes a stream of SMALL update epochs; after each epoch a
+    per-group COUNT/SUM materialized aggregate refreshes. Three feeds
+    on the SAME epochs:
+
+      captured  — capture files, one O(delta) aggregate, no table scan
+      diff      — snapshot diff (reads BOTH snapshots of changed buckets)
+      recompute — from-scratch GROUP BY over the whole table
+
+    All three must agree at the end (asserted) — this measures plan
+    shape, not different answers."""
+    import shutil
+
+    spec = ChangelogSpec(
+        n_events=n_events, n_partitions=32, n_keys=max(1000, n_events // 2), seed=43
+    )
+    log = f"{WORK_ROOT}/bench_log_dense_{n_events}"
+    if not os.path.exists(os.path.join(log, "part-p0000.parquet")):
+        generate_changelog(log, spec)
+    shutil.rmtree(workdir, ignore_errors=True)
+    table = SnapshotTable.create(f"{workdir}/t", n_buckets=max(32, CPUS))
+    eng = CdcEngine(spark, log, table, lsn_budget=1, capture_changes=True)
+    eng.lsn_budget = int(0.9 * max(eng.extents.values()))
+    eng.run_epoch()  # bulk seed
+    from canal_spark.operators.mv import MaterializedAggregate
+
+    mvs = {
+        "captured": MaterializedAggregate(
+            table, f"{workdir}/mv_cap", feed_source="captured"
+        ),
+        "diff": MaterializedAggregate(table, f"{workdir}/mv_diff", feed_source="diff"),
+    }
+    for mv in mvs.values():
+        mv.refresh(spark)  # initial build over the seed epoch, untimed
+    walls = {k: 0.0 for k in (*mvs, "recompute")}
+    eng.lsn_budget = eng.budget_for_epochs(n_update_epochs)
+    epochs = 0
+    while eng.run_epoch() is not None:
+        epochs += 1
+        for k, mv in mvs.items():
+            t0 = time.monotonic()
+            mv.refresh(spark)
+            walls[k] += time.monotonic() - t0
+        t0 = time.monotonic()
+        scratch = (
+            table.read(spark)
+            .groupBy("source")
+            .agg(F.count("*").alias("cnt"), F.sum("n_tok").alias("sum_value"))
+            .collect()
+        )
+        walls["recompute"] += time.monotonic() - t0
+    states = {
+        k: {r["source"]: (r["cnt"], r["sum_value"]) for r in mv.read(spark).collect()}
+        for k, mv in mvs.items()
+    }
+    states["recompute"] = {r["source"]: (r["cnt"], r["sum_value"]) for r in scratch}
+    assert states["captured"] == states["diff"] == states["recompute"]
+    return {
+        "update_epochs": epochs,
+        "table_rows": table.read(spark).count(),
+        **{f"{k}_sec": round(v, 3) for k, v in walls.items()},
+        "captured_vs_diff": round(walls["diff"] / walls["captured"], 2),
+        "captured_vs_recompute": round(walls["recompute"] / walls["captured"], 2),
+    }
+
+
 def main() -> None:
     os.makedirs(WORK_ROOT, exist_ok=True)
     spark = get_spark(
@@ -390,6 +460,15 @@ def main() -> None:
         "all_runs_speedup": [r["mor_vs_cow_update_speedup"] for r in upd_runs],
     }
 
+    mv_runs = [
+        run_mv_refresh(spark, N_EVENTS, N_EPOCHS_UPDATE, f"{WORK_ROOT}/bench_mv")
+        for _ in range(max(1, N_RUNS // 2))
+    ]
+    mv_refresh = min(mv_runs, key=lambda r: r["captured_sec"])
+    mv_refresh["all_runs_captured_sec"] = [r["captured_sec"] for r in mv_runs]
+    queries["mv_refresh_captured"] = mv_refresh["captured_sec"]
+    queries["mv_refresh_diff"] = mv_refresh["diff_sec"]
+
     simhash_series: list[float] = []
     for name in HEADLINE:
         # steady-state per-query timing: one warm-up execution at
@@ -458,6 +537,7 @@ def main() -> None:
                 "multi_replay": multi,
                 "stream_replay": stream,
                 "update_heavy": update_heavy,
+                "mv_refresh": mv_refresh,
                 "refine_corpus_stages": refine_stages,
                 "dedup_simhash_series": simhash_series,
                 "cpus": CPUS,

@@ -57,6 +57,7 @@ def cmd_replay(args) -> int:
         xa_mode=args.xa,
         write_mode=args.write_mode,
         auto_compact_fragments=args.auto_compact_fragments,
+        capture_changes=args.capture_changes,
     )
     if args.epochs_budget:
         eng.lsn_budget = eng.budget_for_epochs(args.epochs_budget)
@@ -362,6 +363,10 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--changelog", required=True)
     rp.add_argument("--table", required=True)
     rp.add_argument("--buckets", type=int, default=32)
+    rp.add_argument("--capture-changes", action="store_true",
+                    help="write per-epoch CDF capture files (Delta "
+                         "change-data-files analog); read_changes serves "
+                         "captured ranges without a table scan")
     rp.add_argument("--target-file-rows", type=int, default=None,
                     help="opt the table into the key-sorted split layout: "
                     "replace-mode writes roll a new range-disjoint file "

@@ -29,6 +29,7 @@ reference's "only complete transactions are delivered").
 from __future__ import annotations
 
 import datetime as _dt
+import os
 import time
 from dataclasses import dataclass
 
@@ -84,6 +85,7 @@ class CdcEngine:
         write_mode: str = "cow",
         auto_compact_fragments: int | None = None,
         compact_target_bytes: int = 128 << 20,
+        capture_changes: bool = False,
     ):
         self.spark = spark
         self.changelog_path = changelog_path
@@ -140,6 +142,17 @@ class CdcEngine:
         #: in BENCH/BASELINE.md §DDL-bridge).
         self.auto_compact_fragments = auto_compact_fragments
         self.compact_target_bytes = compact_target_bytes
+        #: write-time CDF capture (Delta change-data-files analog):
+        #: each epoch additionally writes its NET change set — op,
+        #: after-image, before-image, winner `_seq` — under
+        #: `<table>/changes/epoch=<e>-*/` and records the dir in the
+        #: snapshot (`commit(changes=...)`). read_changes then serves
+        #: any fully-captured range in O(sum of deltas) with no table
+        #: scan (the feed incremental-MV / outbox consumers poll every
+        #: epoch). Cost: one extra pruned read of the epoch's affected
+        #: buckets inside the write job — the same data the CoW merge
+        #: reads anyway. Off by default.
+        self.capture_changes = capture_changes
         self._extents: dict[int, int] | None = None
 
     # ------------------------------------------------------------ plan
@@ -342,6 +355,9 @@ class CdcEngine:
                 )
             for sink in self.sinks:
                 sink.apply(self.spark, delta, prep.epoch)
+            changes_rel = (
+                self._capture_changes(delta, prep) if self.capture_changes else None
+            )
         except BaseException:
             self._discard(prep)
             raise
@@ -373,9 +389,86 @@ class CdcEngine:
         ]
         n_events = sum(li["n_events"] for li in lineage)
         committed = self.table.commit(
-            epoch, rewritten, wms, lineage, append=(self.write_mode == "mor")
+            epoch,
+            rewritten,
+            wms,
+            lineage,
+            append=(self.write_mode == "mor"),
+            changes=changes_rel,
         )
         return EpochResult(epoch, committed, n_events, wms)
+
+    def _capture_changes(self, delta: DataFrame, prep: "_Prepared") -> str:
+        """Write epoch `prep.epoch`'s net change set (write-time CDF).
+
+        Classification replays exactly the merge's LWW decision against
+        the PRE-epoch visible state of the affected buckets (the table
+        has not committed yet, so `table.read` IS that state):
+
+            delta loses (_seq <= stored row's)      -> no change row
+            DELETE of a visible key                 -> DELETE + before
+            DELETE of an absent/tombstoned key      -> no change row
+            upsert over a visible key               -> UPDATE + before
+            upsert over absent/tombstoned           -> INSERT
+
+        The old-side read is bucket-pruned to the epoch's affected
+        buckets and semi-filtered to the delta's keys (broadcast when
+        the epoch is small — the same cardinality gate as every other
+        delta join). Staged under a unique dir; the commit records it,
+        a lost commit race orphans it for remove_orphans."""
+        import uuid as _uuid
+
+        key = "doc_id"
+        payload = [c for c in delta.columns if c not in (key, "op", "_seq")]
+        old = self.table.read(
+            self.spark, buckets=prep.affected, with_bucket=False, internal=True
+        ).select(
+            key,
+            *[F.col(c).alias(f"__old_{c}") for c in payload],
+            F.col("_seq").alias("__old_seq"),
+            F.col("_tombstone").alias("__old_tomb"),
+        )
+        keys = delta.select(key)
+        if prep.small:
+            old = old.join(F.broadcast(keys), key, "left_semi")
+            j = delta.join(F.broadcast(old), key, "left")
+        else:
+            old = old.join(keys, key, "left_semi")
+            j = delta.join(old, key, "left")
+        wins = F.col("__old_seq").isNull() | (F.col("_seq") > F.col("__old_seq"))
+        vis = F.col("__old_seq").isNotNull() & ~F.coalesce(
+            F.col("__old_tomb"), F.lit(True)
+        )
+        net = F.when(
+            F.col("op") == "DELETE", F.when(vis, F.lit("DELETE"))
+        ).otherwise(F.when(vis, F.lit("UPDATE")).otherwise(F.lit("INSERT")))
+        cap = (
+            j.filter(wins)
+            .withColumn("_net", net)
+            .filter(F.col("_net").isNotNull())
+            .select(
+                key,
+                F.col("_net").alias("op"),
+                *[
+                    F.when(F.col("_net") != "DELETE", F.col(c)).alias(c)
+                    for c in payload
+                ],
+                *[
+                    F.when(F.col("_net") != "INSERT", F.col(f"__old_{c}")).alias(
+                        f"before_{c}"
+                    )
+                    for c in payload
+                ],
+                F.col("_seq"),
+            )
+        )
+        rel = os.path.join("changes", f"epoch={prep.epoch}-{_uuid.uuid4().hex[:8]}")
+        # delta-scale output: a handful of files, not one per shuffle
+        # partition (the feed is re-unioned across many epochs by readers)
+        cap.coalesce(8).write.mode("overwrite").parquet(
+            os.path.join(self.table.root, rel)
+        )
+        return rel
 
     # ------------------------------------------------------ ddl stream
     def _ddl_events(self) -> list[dict]:

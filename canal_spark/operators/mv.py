@@ -57,11 +57,17 @@ class MaterializedAggregate:
         state_dir: str,
         group_col: str = "source",
         value_col: str = "n_tok",
+        feed_source: str = "auto",
     ):
+        #: `feed_source` passes through to read_changes: "auto" uses
+        #: write-time capture files when the range has them (O(delta)
+        #: refresh, no table scan — see CdcEngine(capture_changes)),
+        #: falling back to the snapshot diff; "diff"/"captured" force.
         self.table = table
         self.state_dir = state_dir
         self.group_col = group_col
         self.value_col = value_col
+        self.feed_source = feed_source
         os.makedirs(state_dir, exist_ok=True)
 
     # ------------------------------------------------------------ state
@@ -119,7 +125,11 @@ class MaterializedAggregate:
         g, v = self.group_col, self.value_col
 
         changes = self.table.read_changes(
-            spark, last if last is not None else 0, now, with_before=True
+            spark,
+            last if last is not None else 0,
+            now,
+            with_before=True,
+            source=self.feed_source,
         )
         gains = changes.filter(F.col("op") != "DELETE").select(
             F.col(g).alias(g),

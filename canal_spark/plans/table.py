@@ -608,6 +608,7 @@ class SnapshotTable:
         n_buckets_update: int | None = None,
         replace_all: bool = False,
         append: bool = False,
+        changes: str | None = None,
     ) -> bool:
         """Atomically publish epoch `e`: carry forward untouched buckets,
         replace rewritten ones, merge checkpoints, append lineage.
@@ -697,6 +698,14 @@ class SnapshotTable:
             ),
             "meta": {**snap.get("meta", {}), **(meta or {})},
         }
+        # write-time CDF capture reference (Delta change-file analog):
+        # a RELATIVE dir of this epoch's net change set, or "" for a
+        # provably-empty logical change (maintenance rewrites). NOT
+        # carried forward — each snapshot speaks only for its own
+        # epoch; read_changes falls back to the snapshot diff whenever
+        # any epoch in the range is unmarked.
+        if changes is not None:
+            new_snap["changes"] = changes
         # Metadata written per epoch must be O(touched buckets), not
         # O(table): at 10^5 buckets a materialized file map is tens of
         # MB and writing one per epoch makes METADATA the write
@@ -746,6 +755,7 @@ class SnapshotTable:
         from_epoch: int,
         to_epoch: int | None = None,
         with_before: bool = False,
+        source: str = "auto",
     ) -> DataFrame:
         """Net row-level changes between two snapshots, as a changelog
         (Delta CDF / Iceberg incremental-read analog): one row per key
@@ -791,6 +801,21 @@ class SnapshotTable:
         projected through the `to_epoch` schema on BOTH sides
         (_normalize maps by field id), so columns added between the two
         epochs read as NULL before-values.
+
+        `source`: "auto" (default) serves the feed from WRITE-TIME
+        CAPTURE files (Delta's change-data-files analog — see
+        CdcEngine(capture_changes=True)) whenever every epoch in the
+        range carries a capture record, collapsing them to net changes
+        with ONE hash aggregate over O(sum of deltas) rows — no table
+        scan at all; otherwise it falls back to the snapshot diff
+        above. "diff" forces the snapshot diff; "captured" forces the
+        capture path and raises when unavailable. The two paths agree
+        row-for-row (parity-pinned, tests/test_cdf_capture.py) with
+        one documented nuance: for a DELETE whose tombstone was later
+        collected by compact_tombstones INSIDE the range, `_seq` is
+        the deletion's sequence under capture (the tombstone is gone
+        from the diff's to-side, which then reports the superseded
+        row's `_seq`).
         """
         snap_b = self.snapshot(to_epoch)
         snap_a = self.snapshot(from_epoch)
@@ -799,6 +824,18 @@ class SnapshotTable:
                 f"read_changes: from_epoch={snap_a['epoch']} > "
                 f"to_epoch={snap_b['epoch']}"
             )
+        if source != "diff":
+            rels = self._captured_range(snap_a["epoch"], snap_b["epoch"])
+            if rels is not None:
+                return self._read_changes_captured(spark, rels, snap_b, with_before)
+            if source == "captured":
+                raise ValueError(
+                    "read_changes(source='captured'): the range "
+                    f"({snap_a['epoch']}, {snap_b['epoch']}] contains an "
+                    "epoch with no capture record (engine without "
+                    "capture_changes, a DDL, or a rollback) — use "
+                    "source='auto' to fall back to the snapshot diff"
+                )
         key = snap_b["key_col"]
         cols = [
             f["name"]
@@ -874,6 +911,109 @@ class SnapshotTable:
                     for c in (cols if with_before else [])
                 ],
                 F.coalesce(F.col("_seq_b"), F.col("_seq_a")).alias("_seq"),
+            )
+        )
+
+    def _captured_range(self, from_epoch: int, to_epoch: int) -> list[str] | None:
+        """Relative capture dirs for every epoch in (from, to], or None
+        when ANY epoch is unmarked (engine without capture, DDL,
+        rollback, pre-capture history) or its manifest is already
+        expired — the caller then falls back to the snapshot diff,
+        which only needs the two endpoint snapshots. Empty markers
+        (maintenance rewrites: provably no logical change) contribute
+        nothing."""
+        rels: list[str] = []
+        for e in range(from_epoch + 1, to_epoch + 1):
+            try:
+                s = self.snapshot(e)
+            except FileNotFoundError:
+                return None
+            c = s.get("changes")
+            if c is None:
+                return None
+            if c:
+                rels.append(c)
+        return rels
+
+    def _read_changes_captured(
+        self, spark: SparkSession, rels: list[str], snap_b: dict, with_before: bool
+    ) -> DataFrame:
+        """Net change feed from write-time capture files: union the
+        per-epoch captures and collapse per key with one hash aggregate
+        (`max_by` = final image, `min_by` = the range's first
+        before-image), composing ops exactly like the snapshot diff:
+
+            first INSERT  + last DELETE  -> no net row
+            first INSERT  + last other   -> INSERT (after = last)
+            first other   + last DELETE  -> DELETE (before = first's)
+            first other   + last other   -> UPDATE (before = first's)
+
+        O(sum of deltas) rows, one shuffle on the key — independent of
+        table size, the property the capture files exist for."""
+        key = snap_b["key_col"]
+        fields = snap_b["schemas"][str(snap_b["schema_ver"])]
+        types = {f["name"]: f["type"] for f in fields}
+        cols = [f["name"] for f in fields if f["name"] != key]
+        if not rels:
+            ddl = (
+                f"`{key}` {types[key]}, `op` string, "
+                + ", ".join(f"`{c}` {types[c]}" for c in cols)
+                + (
+                    "".join(f", `before_{c}` {types[c]}" for c in cols)
+                    if with_before
+                    else ""
+                )
+                + ", `_seq` long"
+            )
+            return spark.createDataFrame([], ddl)
+        df = spark.read.parquet(*[os.path.join(self.root, r) for r in rels])
+        # pad columns a capture predates (added post-capture by DDL —
+        # can only happen when the DDL itself was range-external, since
+        # DDL epochs are unmarked): typed NULL, same as the diff path
+        # reading an old file under the new schema
+        for c in cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(types[c]))
+            if f"before_{c}" not in df.columns:
+                df = df.withColumn(f"before_{c}", F.lit(None).cast(types[c]))
+        g = df.groupBy(key).agg(
+            F.max_by(
+                F.struct(F.col("op").alias("op"), *cols, F.col("_seq").alias("_seq")),
+                "_seq",
+            ).alias("_last"),
+            F.min_by(
+                F.struct(
+                    F.col("op").alias("op"),
+                    *[F.col(f"before_{c}").alias(f"b_{c}") for c in cols],
+                ),
+                "_seq",
+            ).alias("_first"),
+        )
+        net = (
+            F.when(
+                F.col("_first.op") == "INSERT",
+                F.when(F.col("_last.op") != "DELETE", F.lit("INSERT")),
+            )
+            .when(F.col("_last.op") == "DELETE", F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+        )
+        return (
+            g.withColumn("op", net)
+            .filter(F.col("op").isNotNull())
+            .select(
+                key,
+                "op",
+                *[
+                    F.when(F.col("op") != "DELETE", F.col(f"_last.{c}")).alias(c)
+                    for c in cols
+                ],
+                *[
+                    F.when(F.col("op") != "INSERT", F.col(f"_first.b_{c}")).alias(
+                        f"before_{c}"
+                    )
+                    for c in (cols if with_before else [])
+                ],
+                F.col("_last._seq").alias("_seq"),
             )
         )
 
@@ -1166,7 +1306,8 @@ class SnapshotTable:
             files = self._list_bucket_files(out_dir)
             try:
                 committed = self.commit(
-                    epoch, {b: files.get(b, []) for b in buckets}, {}, []
+                    epoch, {b: files.get(b, []) for b in buckets}, {}, [],
+                    changes="",
                 )
             except ValueError:
                 committed = False
@@ -1307,6 +1448,7 @@ class SnapshotTable:
                     checkpoints={},
                     lineage=[],
                     meta={"last_compaction_epoch": epoch},
+                    changes="",
                 )
             except ValueError:
                 committed = False  # current epoch advanced past ours
@@ -1369,6 +1511,7 @@ class SnapshotTable:
                     lineage=[],
                     n_buckets_update=new_n_buckets,
                     replace_all=True,
+                    changes="",
                 )
             except ValueError:
                 committed = False
@@ -1395,6 +1538,7 @@ class SnapshotTable:
 
         cutoff = _time.time() - min_age_seconds
         referenced: set[str] = set()
+        referenced_changes: set[str] = set()
         for fn in os.listdir(self.meta_dir):
             m = _SNAP_RE.match(fn)
             if not m:
@@ -1406,6 +1550,8 @@ class SnapshotTable:
             for flist in s["files"].values():
                 referenced.update(fe["path"] for fe in flist)
             referenced.update(s.get("pending", []))
+            if s.get("changes"):
+                referenced_changes.add(s["changes"])
         removed = 0
         for dirpath, _dirnames, filenames in os.walk(self.data_dir, topdown=False):
             for fn in filenames:
@@ -1420,6 +1566,29 @@ class SnapshotTable:
                     removed += 1
             if not os.listdir(dirpath):
                 os.rmdir(dirpath)
+        # write-time capture dirs (CDF): unreferenced = a lost commit
+        # race's stage, or an expired epoch's capture past retention
+        ch_root = os.path.join(self.root, "changes")
+        if os.path.isdir(ch_root):
+            import shutil as _shutil
+
+            for d in sorted(os.listdir(ch_root)):
+                full = os.path.join(ch_root, d)
+                rel = os.path.relpath(full, self.root)
+                if rel in referenced_changes or not os.path.isdir(full):
+                    continue
+                inner = [
+                    os.path.join(dp, fn)
+                    for dp, _dn, fns in os.walk(full)
+                    for fn in fns
+                ]
+                newest = max(
+                    (os.path.getmtime(p) for p in inner),
+                    default=os.path.getmtime(full),
+                )
+                if newest <= cutoff:
+                    removed += sum(1 for p in inner if p.endswith(".parquet"))
+                    _shutil.rmtree(full, ignore_errors=True)
         # pending/ lives outside data_dir
         pend_root = os.path.join(self.root, "pending")
         if os.path.isdir(pend_root):

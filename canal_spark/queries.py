@@ -2887,3 +2887,66 @@ def flatmessage_outbox_roundtrip(spark, sf):
         "consumer_reconstructs_table boolean, update_old_minimal boolean, "
         "republish_noop boolean",
     )
+
+
+@q(
+    "cdf_capture_parity",
+    "SELECT TRUE AS cow_captured_equals_diff, TRUE AS mor_captured_equals_diff, "
+    "TRUE AS maintenance_range_served",
+)
+def cdf_capture_parity(spark, sf):
+    """Write-time CDF capture (Delta change-data-files analog,
+    CdcEngine(capture_changes=True) + read_changes(source=...)): the
+    captured fast path — one O(sum-of-deltas) aggregate over the
+    per-epoch capture files, zero table scans — must agree row-for-row
+    (op, after-image, before-image, _seq) with the snapshot-diff path
+    on the same replay, in both write modes, including ranges spanning
+    a compaction epoch (marked provably-empty). VALUES oracle."""
+    import shutil
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+
+    def _same(x, y):
+        return (
+            x.columns == y.columns
+            and x.exceptAll(y).count() == 0
+            and y.exceptAll(x).count() == 0
+        )
+
+    tmp = tempfile.mkdtemp(prefix="canal_cdfc_")
+    try:
+        log = generate_changelog(
+            f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+        )
+        results = {}
+        for mode in ("cow", "mor"):
+            t = SnapshotTable.create(f"{tmp}/{mode}", n_buckets=4)
+            CdcEngine(
+                spark, log, t, lsn_budget=400, write_mode=mode, capture_changes=True
+            ).run_to_completion()
+            final = t.current_epoch()
+            results[mode] = all(
+                _same(
+                    t.read_changes(spark, a, b, with_before=True, source="captured"),
+                    t.read_changes(spark, a, b, with_before=True, source="diff"),
+                )
+                for a, b in ((0, final), (1, final - 1))
+            )
+            if mode == "mor":
+                t.compact_files(spark, target_bytes=1 << 30)
+                maint = _same(
+                    t.read_changes(
+                        spark, 0, final + 1, with_before=True, source="captured"
+                    ),
+                    t.read_changes(spark, 0, final + 1, with_before=True, source="diff"),
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(results["cow"], results["mor"], maint)],
+        "cow_captured_equals_diff boolean, mor_captured_equals_diff boolean, "
+        "maintenance_range_served boolean",
+    )

@@ -43,13 +43,15 @@ def main(phase: str) -> None:
     phase = phase.removesuffix("-mor")
     if phase == "replay-some":
         table = SnapshotTable.create(table_path, n_buckets=16)
-        eng = CdcEngine(spark, LOG, table, lsn_budget=8000, **kw)
+        # capture_changes on: the drive doubles as the end-to-end check
+        # that write-time CDF capture never disturbs replay parity
+        eng = CdcEngine(spark, LOG, table, lsn_budget=8000, capture_changes=True, **kw)
         for _ in range(3):
             eng.run_epoch()
         print(f"VERIFY replay-some: epoch={table.current_epoch()} rows={table.read(spark).count()}")
     elif phase == "resume":
         table = SnapshotTable(table_path)  # fresh handle, cold JVM
-        eng = CdcEngine(spark, LOG, table, lsn_budget=8000, **kw)
+        eng = CdcEngine(spark, LOG, table, lsn_budget=8000, capture_changes=True, **kw)
         final = eng.run_to_completion()
         print(f"VERIFY resume: final_epoch={final} rows={table.read(spark).count()}")
     elif phase == "rerun":
@@ -77,7 +79,16 @@ def main(phase: str) -> None:
         assert list(got.source) == list(exp.source)
         bad = sum(1 for g, e in zip(got.tokens, exp.tokens) if list(g) != list(e))
         assert bad == 0, f"{bad} token-array mismatches"
-        print(f"VERIFY parity: {len(got)} rows byte-exact vs pandas oracle")
+        # the whole replay was capture-enabled: the captured change feed
+        # must agree with the snapshot diff over the full history
+        final = table.current_epoch()
+        cap = table.read_changes(spark, 0, final, source="captured")
+        diff = table.read_changes(spark, 0, final, source="diff")
+        assert cap.exceptAll(diff).count() == 0 and diff.exceptAll(cap).count() == 0
+        print(
+            f"VERIFY parity: {len(got)} rows byte-exact vs pandas oracle; "
+            f"captured CDF == snapshot diff over (0, {final}]"
+        )
     elif phase == "rollback":
         # poisoned-batch recovery drive (run after parity): rewind the
         # fully-replayed table two epochs, verify the checkpoints moved
