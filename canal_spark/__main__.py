@@ -96,6 +96,7 @@ def cmd_stream(args) -> int:
         xa_mode=args.xa,
         write_mode=args.write_mode,
         ddl_events_path=args.ddl_events,
+        capture_changes=args.capture_changes,
     )
     q = su.start(
         args.changelog, args.checkpoint, max_files_per_trigger=args.max_files_per_trigger
@@ -405,6 +406,8 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--ddl-events", default=None)
     sm.add_argument("--xa", action="store_true")
     sm.add_argument("--write-mode", choices=("cow", "mor"), default="cow")
+    sm.add_argument("--capture-changes", action="store_true",
+                    help="write per-epoch CDF capture files (see replay)")
     sm.set_defaults(fn=cmd_stream)
 
     for nm, fn, streaming in (

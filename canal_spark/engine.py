@@ -399,76 +399,9 @@ class CdcEngine:
         return EpochResult(epoch, committed, n_events, wms)
 
     def _capture_changes(self, delta: DataFrame, prep: "_Prepared") -> str:
-        """Write epoch `prep.epoch`'s net change set (write-time CDF).
-
-        Classification replays exactly the merge's LWW decision against
-        the PRE-epoch visible state of the affected buckets (the table
-        has not committed yet, so `table.read` IS that state):
-
-            delta loses (_seq <= stored row's)      -> no change row
-            DELETE of a visible key                 -> DELETE + before
-            DELETE of an absent/tombstoned key      -> no change row
-            upsert over a visible key               -> UPDATE + before
-            upsert over absent/tombstoned           -> INSERT
-
-        The old-side read is bucket-pruned to the epoch's affected
-        buckets and semi-filtered to the delta's keys (broadcast when
-        the epoch is small — the same cardinality gate as every other
-        delta join). Staged under a unique dir; the commit records it,
-        a lost commit race orphans it for remove_orphans."""
-        import uuid as _uuid
-
-        key = "doc_id"
-        payload = [c for c in delta.columns if c not in (key, "op", "_seq")]
-        old = self.table.read(
-            self.spark, buckets=prep.affected, with_bucket=False, internal=True
-        ).select(
-            key,
-            *[F.col(c).alias(f"__old_{c}") for c in payload],
-            F.col("_seq").alias("__old_seq"),
-            F.col("_tombstone").alias("__old_tomb"),
+        return capture_epoch_changes(
+            self.spark, self.table, delta, prep.epoch, prep.affected, small=prep.small
         )
-        keys = delta.select(key)
-        if prep.small:
-            old = old.join(F.broadcast(keys), key, "left_semi")
-            j = delta.join(F.broadcast(old), key, "left")
-        else:
-            old = old.join(keys, key, "left_semi")
-            j = delta.join(old, key, "left")
-        wins = F.col("__old_seq").isNull() | (F.col("_seq") > F.col("__old_seq"))
-        vis = F.col("__old_seq").isNotNull() & ~F.coalesce(
-            F.col("__old_tomb"), F.lit(True)
-        )
-        net = F.when(
-            F.col("op") == "DELETE", F.when(vis, F.lit("DELETE"))
-        ).otherwise(F.when(vis, F.lit("UPDATE")).otherwise(F.lit("INSERT")))
-        cap = (
-            j.filter(wins)
-            .withColumn("_net", net)
-            .filter(F.col("_net").isNotNull())
-            .select(
-                key,
-                F.col("_net").alias("op"),
-                *[
-                    F.when(F.col("_net") != "DELETE", F.col(c)).alias(c)
-                    for c in payload
-                ],
-                *[
-                    F.when(F.col("_net") != "INSERT", F.col(f"__old_{c}")).alias(
-                        f"before_{c}"
-                    )
-                    for c in payload
-                ],
-                F.col("_seq"),
-            )
-        )
-        rel = os.path.join("changes", f"epoch={prep.epoch}-{_uuid.uuid4().hex[:8]}")
-        # delta-scale output: a handful of files, not one per shuffle
-        # partition (the feed is re-unioned across many epochs by readers)
-        cap.coalesce(8).write.mode("overwrite").parquet(
-            os.path.join(self.table.root, rel)
-        )
-        return rel
 
     # ------------------------------------------------------ ddl stream
     def _ddl_events(self) -> list[dict]:
@@ -854,3 +787,102 @@ def _field(fields: list[dict], name: str) -> dict:
 def _check_widening(frm: str, to: str) -> None:
     if (frm, to) not in _WIDENINGS:
         raise ValueError(f"illegal type change {frm} -> {to} (widenings only)")
+
+
+def capture_epoch_changes(
+    spark: SparkSession,
+    table,
+    delta: DataFrame,
+    epoch: int,
+    affected: list[int] | None = None,
+    small: bool = False,
+) -> str:
+    """Write epoch `epoch`'s net change set (write-time CDF capture,
+    shared by CdcEngine and StreamingUpsert). Returns the RELATIVE
+    staged dir for `commit(changes=...)`.
+
+    Classification replays exactly the merge's LWW decision against
+    the PRE-epoch visible state of the affected buckets (the table has
+    not committed yet, so `table.read` IS that state):
+
+        delta loses (_seq <= stored row's)      -> no change row
+        DELETE of a visible key                 -> DELETE + before
+        DELETE of an absent/tombstoned key      -> TOUCH (internal)
+        upsert over a visible key               -> UPDATE + before
+        upsert over absent/tombstoned           -> INSERT
+
+    TOUCH is capture-internal: a winning re-delete of an already-
+    invisible key changes no visible state but ADVANCES the stored
+    tombstone's `_seq` — without recording it, a later range-collapse
+    would report the older deletion's `_seq` while the snapshot diff
+    reads the newer tombstone (found by the streaming parity test).
+    The range reader composes TOUCH like DELETE for end-state and like
+    INSERT for start-visibility, and never emits it.
+
+    The old-side read is bucket-pruned to the epoch's affected buckets
+    (derived from the delta's keys when not supplied — one tiny
+    distinct job) and semi-filtered to the delta's keys (broadcast when
+    `small`, the same cardinality gate as every other delta join).
+    Staged under a unique dir; the commit records it, a lost commit
+    race orphans it for remove_orphans."""
+    import uuid as _uuid
+
+    from canal_spark.plans.table import bucket_expr
+
+    key = "doc_id"
+    payload = [c for c in delta.columns if c not in (key, "op", "_seq")]
+    if affected is None:
+        n_buckets = table.snapshot()["n_buckets"]
+        affected = sorted(
+            r[0]
+            for r in delta.select(
+                bucket_expr(key, n_buckets).alias("b")
+            ).distinct().collect()
+        )
+    old = table.read(
+        spark, buckets=affected, with_bucket=False, internal=True
+    ).select(
+        key,
+        *[F.col(c).alias(f"__old_{c}") for c in payload],
+        F.col("_seq").alias("__old_seq"),
+        F.col("_tombstone").alias("__old_tomb"),
+    )
+    keys = delta.select(key)
+    if small:
+        old = old.join(F.broadcast(keys), key, "left_semi")
+        j = delta.join(F.broadcast(old), key, "left")
+    else:
+        old = old.join(keys, key, "left_semi")
+        j = delta.join(old, key, "left")
+    wins = F.col("__old_seq").isNull() | (F.col("_seq") > F.col("__old_seq"))
+    vis = F.col("__old_seq").isNotNull() & ~F.coalesce(
+        F.col("__old_tomb"), F.lit(True)
+    )
+    net = F.when(
+        F.col("op") == "DELETE",
+        F.when(vis, F.lit("DELETE")).otherwise(F.lit("TOUCH")),
+    ).otherwise(F.when(vis, F.lit("UPDATE")).otherwise(F.lit("INSERT")))
+    cap = (
+        j.filter(wins)
+        .withColumn("_net", net)
+        .select(
+            key,
+            F.col("_net").alias("op"),
+            *[
+                F.when(~F.col("_net").isin("DELETE", "TOUCH"), F.col(c)).alias(c)
+                for c in payload
+            ],
+            *[
+                F.when(
+                    ~F.col("_net").isin("INSERT", "TOUCH"), F.col(f"__old_{c}")
+                ).alias(f"before_{c}")
+                for c in payload
+            ],
+            F.col("_seq"),
+        )
+    )
+    rel = os.path.join("changes", f"epoch={epoch}-{_uuid.uuid4().hex[:8]}")
+    # delta-scale output: a handful of files, not one per shuffle
+    # partition (the feed is re-unioned across many epochs by readers)
+    cap.coalesce(8).write.mode("overwrite").parquet(os.path.join(table.root, rel))
+    return rel

@@ -941,12 +941,17 @@ class SnapshotTable:
         """Net change feed from write-time capture files: union the
         per-epoch captures and collapse per key with one hash aggregate
         (`max_by` = final image, `min_by` = the range's first
-        before-image), composing ops exactly like the snapshot diff:
+        before-image), composing ops exactly like the snapshot diff.
+        The FIRST op encodes visibility at range start (INSERT/TOUCH =
+        the key was invisible), the LAST op visibility at range end
+        (DELETE/TOUCH = invisible) — TOUCH being the capture-internal
+        tombstone-`_seq`-advance record (see capture_epoch_changes),
+        never emitted:
 
-            first INSERT  + last DELETE  -> no net row
-            first INSERT  + last other   -> INSERT (after = last)
-            first other   + last DELETE  -> DELETE (before = first's)
-            first other   + last other   -> UPDATE (before = first's)
+            start invisible + end invisible -> no net row
+            start invisible + end visible   -> INSERT (after = last)
+            start visible   + end invisible -> DELETE (before = first's)
+            start visible   + end visible   -> UPDATE (before = first's)
 
         O(sum of deltas) rows, one shuffle on the key — independent of
         table size, the property the capture files exist for."""
@@ -989,13 +994,12 @@ class SnapshotTable:
                 "_seq",
             ).alias("_first"),
         )
+        start_vis = ~F.col("_first.op").isin("INSERT", "TOUCH")
+        end_vis = ~F.col("_last.op").isin("DELETE", "TOUCH")
         net = (
-            F.when(
-                F.col("_first.op") == "INSERT",
-                F.when(F.col("_last.op") != "DELETE", F.lit("INSERT")),
-            )
-            .when(F.col("_last.op") == "DELETE", F.lit("DELETE"))
-            .otherwise(F.lit("UPDATE"))
+            F.when(~start_vis & end_vis, F.lit("INSERT"))
+            .when(start_vis & ~end_vis, F.lit("DELETE"))
+            .when(start_vis & end_vis, F.lit("UPDATE"))
         )
         return (
             g.withColumn("op", net)

@@ -82,10 +82,18 @@ class StreamingUpsert:
         sinks: tuple = (),
         write_mode: str = "cow",
         ddl_events_path: str | None = None,
+        capture_changes: bool = False,
     ):
         self.spark = spark
         self.table = table
         self.xa_mode = xa_mode
+        #: write-time CDF capture, same contract as
+        #: CdcEngine(capture_changes=True): every DML epoch (numbered
+        #: batches AND unnumbered DDL sub-epochs) records its net
+        #: change set; the affected-bucket list is derived from the
+        #: micro-batch delta (one tiny distinct job). DDL epochs stay
+        #: unmarked, so feeds crossing them fall back to the diff.
+        self.capture_changes = capture_changes
         #: same OuterAdapter fan-out contract as CdcEngine.sinks
         self.sinks = tuple(sinks)
         #: same semantics as CdcEngine.write_mode: "mor" appends the
@@ -270,6 +278,11 @@ class StreamingUpsert:
         # guard makes that a no-op; the MQ sink is a redeliverable bus)
         for sink in self.sinks:
             sink.apply(self.spark, delta, epoch)
+        changes_rel = None
+        if self.capture_changes:
+            from canal_spark.engine import capture_epoch_changes
+
+            changes_rel = capture_epoch_changes(self.spark, self.table, delta, epoch)
         lineage = [
             {
                 "epoch": epoch,
@@ -297,6 +310,7 @@ class StreamingUpsert:
             # the batch on redelivery (from the pending store)
             meta=meta,
             append=(self.write_mode == "mor"),
+            changes=changes_rel,
         )
 
     # ------------------------------------------------------------ start

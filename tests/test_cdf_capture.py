@@ -153,3 +153,28 @@ def test_mv_refresh_served_by_capture(spark, changelog_dir, oracle_state, tmp_pa
     assert got == {
         s: (int(r.cnt), int(r.sum_value)) for s, r in exp.iterrows()
     }
+
+
+def test_streaming_capture_parity(spark, changelog_dir, oracle_state, tmp_path):
+    """StreamingUpsert(capture_changes=True): every micro-batch epoch
+    records its capture, the captured feed agrees with the snapshot
+    diff over the whole stream, and redelivery stays a no-op."""
+    from canal_spark.streaming.stream import StreamingUpsert
+    from tests.conftest import assert_state_equals_oracle
+
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    su = StreamingUpsert(spark, table, capture_changes=True)
+    q = su.start(changelog_dir, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(300)
+    final = table.current_epoch()
+    assert final == 4
+    assert_state_equals_oracle(table.read(spark), oracle_state)
+    for e in range(1, final + 1):
+        assert table.snapshot(e)["changes"]
+    _assert_parity(spark, table, 0, final)
+    _assert_parity(spark, table, 1, 3)
+    # manual redelivery: no new epoch, no new capture dirs
+    n_dirs = len(os.listdir(os.path.join(table.root, "changes")))
+    assert su.apply_batch(spark.read.parquet(changelog_dir), batch_id=0) is False
+    assert table.current_epoch() == final
+    assert len(os.listdir(os.path.join(table.root, "changes"))) == n_dirs
