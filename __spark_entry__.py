@@ -86,6 +86,7 @@ _SAMPLE_FIRST = [
     "tag_retention_parity",
     "flatmessage_outbox_roundtrip",
     "cdf_capture_parity",
+    "time_travel_timestamp",
     "incremental_changes_consistent",
     "stream_replay_parity",
     "token_budget_cap",

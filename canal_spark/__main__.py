@@ -216,13 +216,16 @@ def cmd_rollback(args) -> int:
     path. Pure metadata — no Spark session."""
     from canal_spark.plans.table import SnapshotTable
 
+    if (args.epoch is None) == (args.at is None):
+        raise SystemExit("rollback: exactly one of --epoch / --at is required")
     table = SnapshotTable(args.table)
-    new_epoch = table.rollback_to(args.epoch)
+    target = table.epoch_at(args.at) if args.at else args.epoch
+    new_epoch = table.rollback_to(target)
     print(
         json.dumps(
             {
                 "epoch": new_epoch,
-                "restored": args.epoch,
+                "restored": target,
                 "checkpoints": table.snapshot()["checkpoints"],
             }
         )
@@ -258,6 +261,7 @@ def cmd_status(args) -> int:
     reg = CursorRegistry(table.meta_dir)
     out = {
         "epoch": snap["epoch"],
+        "committed_at_us": snap.get("committed_at_us"),
         "schema_ver": snap["schema_ver"],
         "n_buckets": snap["n_buckets"],
         "checkpoints": snap["checkpoints"],
@@ -448,7 +452,10 @@ def main(argv: list[str] | None = None) -> int:
         "rollback", help="roll the table back to an earlier epoch (metadata-only)"
     )
     rb.add_argument("--table", required=True)
-    rb.add_argument("--epoch", type=int, required=True)
+    rb.add_argument("--epoch", type=int, default=None)
+    rb.add_argument("--at", default=None,
+                    help="restore to the snapshot current at this ISO "
+                         "timestamp (TIMESTAMP AS OF; alternative to --epoch)")
     rb.set_defaults(fn=cmd_rollback)
 
     tg = sub.add_parser(

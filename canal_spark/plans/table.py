@@ -51,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -204,7 +205,15 @@ class SnapshotTable:
         writers racing to commit the same epoch cannot silently
         clobber each other — exactly one wins, the loser sees
         FileExistsError and replans (see compact_files). POSIX-atomic
-        like the rename it replaces."""
+        like the rename it replaces.
+
+        Every published snapshot is wall-clock stamped
+        (`committed_at_us`, set here so EVERY publish path — create,
+        commit, rollback — gets one): the basis for timestamp time
+        travel (`epoch_at`, Iceberg's `TIMESTAMP AS OF`). The stamp is
+        set on the caller's dict too, so in-process snapshot caches
+        agree with disk."""
+        snap.setdefault("committed_at_us", time.time_ns() // 1000)
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(snap, f, indent=1)
@@ -740,6 +749,9 @@ class SnapshotTable:
             # fast-path existence check — same outcome as the fast
             # path: not committed by us
             return False
+        # to_disk is a shallow copy: carry the publish stamp into the
+        # cached materialized form so cache and disk agree
+        new_snap["committed_at_us"] = to_disk["committed_at_us"]
         self._snap_cache[epoch] = new_snap
         return True
 
@@ -1079,6 +1091,46 @@ class SnapshotTable:
             os.remove(os.path.join(self.tags_dir, f"{name}.json"))
         except FileNotFoundError:
             raise KeyError(f"no such tag: {name!r}") from None
+
+    def epoch_at(self, ts) -> int:
+        """Largest RETAINED epoch committed at or before `ts` — the
+        Iceberg `TIMESTAMP AS OF` resolution step; pair with
+        `read(spark, epoch=epoch_at(ts))` for timestamp time travel,
+        or `rollback_to(epoch_at(ts))` / CLI `rollback --at` for
+        wall-clock restore points.
+
+        `ts`: a datetime (naive = UTC), an ISO-8601 string, or epoch
+        MICROSECONDS as int. Snapshots expired past retention (or
+        written before this engine stamped `committed_at_us`) cannot
+        be resolved; a `ts` earlier than every retained stamp raises.
+        Commit stamps come from the committing process's wall clock —
+        monotonic in practice because commits are strictly sequential,
+        but a clock step between writers can blur the boundary between
+        two adjacent epochs (the answer is still one of the two)."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            us = int(ts.timestamp() * 1_000_000)
+        else:
+            us = int(ts)
+        best = None
+        for fn in os.listdir(self.meta_dir):
+            m = _SNAP_RE.match(fn)
+            if not m:
+                continue
+            e = int(m.group(1))
+            at = self.snapshot(e).get("committed_at_us")
+            if at is not None and at <= us and (best is None or e > best):
+                best = e
+        if best is None:
+            raise ValueError(
+                f"epoch_at: no retained snapshot committed at or before {ts!r}"
+            )
+        return best
 
     # ------------------------------------------------- maintenance / GC
     def rollback_to(self, epoch: int) -> int:

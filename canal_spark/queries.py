@@ -2950,3 +2950,57 @@ def cdf_capture_parity(spark, sf):
         "cow_captured_equals_diff boolean, mor_captured_equals_diff boolean, "
         "maintenance_range_served boolean",
     )
+
+
+@q(
+    "time_travel_timestamp",
+    "SELECT TRUE AS boundaries_resolve, TRUE AS as_of_read_matches, "
+    "TRUE AS pre_history_raises",
+)
+def time_travel_timestamp(spark, sf):
+    """Timestamp time travel (Iceberg TIMESTAMP AS OF analog): every
+    published snapshot is wall-clock stamped (committed_at_us);
+    epoch_at(ts) resolves each recorded commit stamp back to exactly
+    its epoch, a read AS OF a mid-history stamp equals the epoch read,
+    and a ts before the table existed raises. VALUES oracle."""
+    import shutil
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+
+    def _same(x, y):
+        return x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+
+    tmp = tempfile.mkdtemp(prefix="canal_tt_")
+    try:
+        log = generate_changelog(
+            f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+        )
+        t = SnapshotTable.create(f"{tmp}/t", n_buckets=4)
+        eng = CdcEngine(spark, log, t, lsn_budget=400)
+        eng.run_to_completion()
+        final = t.current_epoch()
+        stamps = {e: t.snapshot(e)["committed_at_us"] for e in range(final + 1)}
+        boundaries = all(t.epoch_at(at) == e for e, at in stamps.items())
+        mid = final // 2
+        cols = ["doc_id", "tokens", "n_tok", "source"]
+        as_of = _same(
+            t.read(spark, epoch=t.epoch_at(stamps[mid]), with_bucket=False).select(
+                *cols
+            ),
+            t.read(spark, epoch=mid, with_bucket=False).select(*cols),
+        )
+        try:
+            t.epoch_at(stamps[0] - 1)
+            raises = False
+        except ValueError:
+            raises = True
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(boundaries, as_of, raises)],
+        "boundaries_resolve boolean, as_of_read_matches boolean, "
+        "pre_history_raises boolean",
+    )
