@@ -87,6 +87,7 @@ _SAMPLE_FIRST = [
     "flatmessage_outbox_roundtrip",
     "cdf_capture_parity",
     "time_travel_timestamp",
+    "table_replication_parity",
     "incremental_changes_consistent",
     "stream_replay_parity",
     "token_budget_cap",

@@ -186,6 +186,34 @@ def cmd_multi_stream(args) -> int:
     return 0
 
 
+def cmd_replicate(args) -> int:
+    """Sync a replica table from the primary's change feed (creates
+    the replica on first run with the primary's key/schema)."""
+    from canal_spark.operators.replicate import TableReplicator
+    from canal_spark.plans.table import SnapshotTable
+
+    spark = _spark(args.master, args.cpus)
+    primary = SnapshotTable(args.primary)
+    if not os.path.isdir(os.path.join(args.replica, "meta")):
+        rep = TableReplicator.create_replica(
+            primary, args.replica, n_buckets=args.buckets
+        )
+    else:
+        rep = TableReplicator(primary, SnapshotTable(args.replica))
+    synced = rep.sync(spark)
+    print(
+        json.dumps(
+            {
+                "synced_to": synced if synced is not None else rep.replicated_epoch(),
+                "noop": synced is None,
+                "replica_epoch": rep.replica.current_epoch(),
+                "rows": rep.replica.read(spark).count(),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_group_status(args) -> int:
     """Instance-level position: the authoritative group marker (shared
     cursor, member table epochs, stream batch id, ddl watermark).
@@ -441,6 +469,16 @@ def main(argv: list[str] | None = None) -> int:
             mp.add_argument("--lsn-budget", type=int, default=1_000_000)
             mp.add_argument("--max-epochs", type=int, default=10_000)
         mp.set_defaults(fn=fn)
+
+    rc = sub.add_parser(
+        "replicate",
+        help="sync a replica table from the primary's change feed",
+    )
+    rc.add_argument("--primary", required=True)
+    rc.add_argument("--replica", required=True)
+    rc.add_argument("--buckets", type=int, default=None,
+                    help="replica bucket count on first create (default: primary's)")
+    rc.set_defaults(fn=cmd_replicate)
 
     gs = sub.add_parser(
         "group-status", help="print the group marker (multi-table position) as JSON"

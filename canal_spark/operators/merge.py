@@ -47,13 +47,20 @@ from canal_spark.plans.table import (
 CHANGELOG_FIELD_IDS = {1: "doc_id", 2: "tokens", 3: "n_tok", 4: "source"}
 
 
-def align_to_schema(delta: DataFrame, schema_fields: list[dict], key: str) -> DataFrame:
+def align_to_schema(
+    delta: DataFrame, schema_fields: list[dict], key: str, by_name: bool = False
+) -> DataFrame:
     """Project changelog payload columns onto the table's current schema
     by field id (rename/widen/add handled declaratively), carrying the
-    merge metadata (`_seq`, `_tombstone`, bucket)."""
+    merge metadata (`_seq`, `_tombstone`, bucket).
+
+    `by_name=True` for deltas ALREADY in table-schema shape (the
+    change-feed replicator): columns map by name, so post-DDL fields —
+    which have no changelog field id — carry through instead of
+    nulling."""
     cols = []
     for fld in schema_fields:
-        src = CHANGELOG_FIELD_IDS.get(fld["id"])
+        src = fld["name"] if by_name else CHANGELOG_FIELD_IDS.get(fld["id"])
         if fld["name"] == key:
             continue
         if src is not None and src in delta.columns:
@@ -75,6 +82,7 @@ def append_epoch(
     delta: DataFrame,
     epoch: int,
     affected: list[int] | None = None,
+    delta_by_name: bool = False,
 ) -> dict[int, list[str]]:
     """Merge-on-read apply: write the LWW-collapsed delta as FRAGMENT
     files appended to each touched bucket's file list, touching no
@@ -96,7 +104,8 @@ def append_epoch(
     key = snap["key_col"]
     fields = snap["schemas"][str(snap["schema_ver"])]
     delta = align_to_schema(
-        delta.withColumn("bucket", bucket_expr(key, n_buckets)), fields, key
+        delta.withColumn("bucket", bucket_expr(key, n_buckets)), fields, key,
+        by_name=delta_by_name,
     )
     if affected is None:
         affected = sorted(
@@ -131,11 +140,12 @@ def merge_epoch(
     broadcast_delta: bool = True,
     key_frame: DataFrame | None = None,
     affected: list[int] | None = None,
+    delta_by_name: bool = False,
 ) -> dict[int, list[str]]:
     """Write epoch `e`'s rewritten buckets; return {bucket: [files]}.
 
     `delta` must be LWW-collapsed (unique key) with `op` and `_seq`
-    columns. Does NOT commit — the caller commits the returned file map
+    columns. `delta_by_name` — see align_to_schema. Does NOT commit — the caller commits the returned file map
     atomically (engine.py), so a crash here leaves only unreferenced
     orphan files.
 
@@ -152,7 +162,8 @@ def merge_epoch(
     fields = snap["schemas"][str(snap["schema_ver"])]
 
     delta = align_to_schema(
-        delta.withColumn("bucket", bucket_expr(key, n_buckets)), fields, key
+        delta.withColumn("bucket", bucket_expr(key, n_buckets)), fields, key,
+        by_name=delta_by_name,
     )
     own_persist = key_frame is None
     if own_persist:

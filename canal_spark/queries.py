@@ -3004,3 +3004,61 @@ def time_travel_timestamp(spark, sf):
         "boundaries_resolve boolean, as_of_read_matches boolean, "
         "pre_history_raises boolean",
     )
+
+
+@q(
+    "table_replication_parity",
+    "SELECT TRUE AS replica_matches_primary, TRUE AS deletes_propagated, "
+    "TRUE AS resync_noop",
+)
+def table_replication_parity(spark, sf):
+    """Change-feed table replication (operators/replicate.py — canal's
+    downstream-sync use case at the table layer): a replica on a
+    DIFFERENT bucket layout, synced incrementally from a capture-
+    enabled primary's read_changes feed, converges to the primary's
+    exact visible state (including deletes), and a re-sync at the same
+    primary epoch is a no-op. VALUES oracle (the r4 boolean pattern)."""
+    import shutil
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.operators.replicate import TableReplicator
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+
+    def _same(x, y):
+        return x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+
+    tmp = tempfile.mkdtemp(prefix="canal_rep_")
+    try:
+        log = generate_changelog(
+            f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+        )
+        primary = SnapshotTable.create(f"{tmp}/p", n_buckets=8)
+        eng = CdcEngine(
+            spark, log, primary, lsn_budget=500, capture_changes=True
+        )
+        rep = TableReplicator.create_replica(primary, f"{tmp}/r", n_buckets=4)
+        eng.run_epoch(), eng.run_epoch()
+        rep.sync(spark)
+        eng.run_to_completion()
+        rep.sync(spark)
+        p = primary.read(spark, with_bucket=False).select(*cols)
+        r = rep.replica.read(spark, with_bucket=False).select(*cols)
+        matches = _same(p, r)
+        # deletes: the primary's tombstoned keys are absent on both sides
+        p_keys = {x[0] for x in p.select("doc_id").collect()}
+        r_keys = {x[0] for x in r.select("doc_id").collect()}
+        deletes = p_keys == r_keys and primary.read(
+            spark, with_bucket=False, internal=True
+        ).filter("_tombstone").count() > 0
+        noop = rep.sync(spark) is None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(matches, deletes, noop)],
+        "replica_matches_primary boolean, deletes_propagated boolean, "
+        "resync_noop boolean",
+    )

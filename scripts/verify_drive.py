@@ -120,6 +120,39 @@ def main(phase: str) -> None:
             f"VERIFY rollback: rewound {final_epoch}->{target} "
             f"({rolled_rows} rows), resumed to byte-exact parity ({len(got)} rows)"
         )
+    elif phase == "replicate":
+        # downstream-sync drive (run after rollback): a fresh replica on
+        # a DIFFERENT bucket layout syncs from the primary's change feed
+        # (which here spans capture-enabled, rollback and resumed
+        # epochs) and must land byte-exact on the same pandas oracle;
+        # a second sync must be a no-op
+        sys.path.insert(0, "/root/repo")
+        from canal_spark.operators.replicate import TableReplicator
+        from tests.oracle_replay import replay
+
+        primary = SnapshotTable(table_path)
+        rep_path = table_path + "_replica"
+        if os.path.isdir(os.path.join(rep_path, "meta")):
+            rep = TableReplicator(primary, SnapshotTable(rep_path))
+        else:
+            rep = TableReplicator.create_replica(primary, rep_path, n_buckets=8)
+        synced = rep.sync(spark)
+        assert synced == primary.current_epoch(), synced
+        assert rep.sync(spark) is None
+        got = (
+            rep.replica.read(spark)
+            .select("doc_id", "tokens", "n_tok", "source")
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        exp = replay(LOG).sort_values("doc_id").reset_index(drop=True)
+        assert list(got.doc_id) == list(exp.doc_id)
+        assert list(got.n_tok) == list(exp.n_tok)
+        bad = sum(1 for g, e in zip(got.tokens, exp.tokens) if list(g) != list(e))
+        assert bad == 0, f"{bad} token-array mismatches on the replica"
+        print(
+            f"VERIFY replicate: replica synced to primary epoch {synced}, "
+            f"{len(got)} rows byte-exact vs pandas oracle, resync no-op"
+        )
     elif phase == "multi":
         # multi-table routing drive: partial replay, fresh-handle
         # resume, per-route parity vs the pandas oracle's subscription
