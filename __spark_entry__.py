@@ -88,6 +88,7 @@ _SAMPLE_FIRST = [
     "cdf_capture_parity",
     "time_travel_timestamp",
     "table_replication_parity",
+    "branch_wap_parity",
     "incremental_changes_consistent",
     "stream_replay_parity",
     "token_budget_cap",

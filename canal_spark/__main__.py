@@ -279,6 +279,27 @@ def cmd_tag(args) -> int:
     return 0
 
 
+def cmd_ref(args) -> int:
+    """Branch refs (mutable pins — the WAP surface): --name sets/moves,
+    --fast-forward advances to the chain head (or --epoch), --drop
+    releases, neither lists. Pure metadata, no Spark session."""
+    from canal_spark.plans.table import SnapshotTable
+
+    table = SnapshotTable(args.table)
+    if args.drop:
+        table.drop_ref(args.drop)
+        print(json.dumps({"dropped": args.drop, "refs": table.refs()}))
+    elif args.fast_forward:
+        epoch = table.fast_forward(args.fast_forward, epoch=args.epoch)
+        print(json.dumps({"ref": args.fast_forward, "epoch": epoch}))
+    elif args.name:
+        epoch = table.set_ref(args.name, epoch=args.epoch)
+        print(json.dumps({"ref": args.name, "epoch": epoch}))
+    else:
+        print(json.dumps({"refs": table.refs()}))
+    return 0
+
+
 def cmd_status(args) -> int:
     from canal_spark.plans.cursors import CursorRegistry
     from canal_spark.plans.table import SnapshotTable
@@ -504,6 +525,18 @@ def main(argv: list[str] | None = None) -> int:
     tg.add_argument("--epoch", type=int, default=None, help="epoch to pin (default: current)")
     tg.add_argument("--drop", help="tag name to release")
     tg.set_defaults(fn=cmd_tag)
+
+    rf = sub.add_parser(
+        "ref", help="set/move/fast-forward/drop/list branch refs (WAP publish)"
+    )
+    rf.add_argument("--table", required=True)
+    rf.add_argument("--name", help="ref to set or move (default: list refs)")
+    rf.add_argument("--epoch", type=int, default=None,
+                    help="epoch to point at (default: current)")
+    rf.add_argument("--fast-forward", metavar="NAME",
+                    help="advance NAME to --epoch or the chain head (forward-only)")
+    rf.add_argument("--drop", help="ref name to release")
+    rf.set_defaults(fn=cmd_ref)
 
     st = sub.add_parser("status", help="print table position/meta as JSON")
     st.add_argument("--table", required=True)

@@ -269,8 +269,11 @@ class SnapshotTable:
         with_bucket: bool = True,
         internal: bool = False,
         key_range: tuple | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Table state as of a snapshot (time travel via `epoch`),
+        """Table state as of a snapshot (time travel via `epoch`;
+        `ref="main"` resolves the epoch through a branch ref — the
+        published-state read under write-audit-publish, see `set_ref`),
         optionally pruned to a bucket subset (file-level pruning — the
         files of other buckets are never opened).
 
@@ -306,6 +309,10 @@ class SnapshotTable:
         (disjoint key slices, no duplicates) — bypasses the window
         entirely. The resolution shuffle touches exactly the data that
         can conflict, never the whole table."""
+        if ref is not None:
+            if epoch is not None:
+                raise ValueError("read: pass epoch or ref, not both")
+            epoch = self.ref_epoch(ref)
         snap = self.snapshot(epoch)
         current = snap["schemas"][str(snap["schema_ver"])]
         lo, hi = key_range if key_range is not None else (None, None)
@@ -1092,6 +1099,74 @@ class SnapshotTable:
         except FileNotFoundError:
             raise KeyError(f"no such tag: {name!r}") from None
 
+    # ------------------------------------------------- branch refs / WAP
+    @property
+    def refs_dir(self) -> str:
+        return os.path.join(self.meta_dir, "refs")
+
+    def set_ref(self, name: str, epoch: int | None = None) -> int:
+        """Create or MOVE a named mutable ref (Iceberg branch analog —
+        a tag that can advance). Like a tag, a ref pins its epoch
+        against `expire_snapshots`; unlike a tag, re-pointing an
+        existing name is the operation, not an error.
+
+        The load-bearing use is write-audit-publish: pin `main` at the
+        published epoch, let the engine keep committing (audit epochs
+        land on the chain but stay invisible to `read(ref="main")`),
+        validate the head, then `fast_forward("main")` to publish — or
+        `rollback_to(ref_epoch("main"))` to abort, which also rewinds
+        the checkpoints so the poisoned events replay after the fix.
+
+        Atomic via tmp-write + `os.replace`: readers see the old or the
+        new epoch, never a torn file. Returns the pinned epoch."""
+        if not self._TAG_NAME_RE.match(name):
+            raise ValueError(f"invalid ref name {name!r}")
+        snap = self.snapshot(epoch)  # raises if the epoch is gone
+        os.makedirs(self.refs_dir, exist_ok=True)
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"epoch": snap["epoch"]}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.refs_dir, f"{name}.json"))
+        return snap["epoch"]
+
+    def refs(self) -> dict[str, int]:
+        if not os.path.isdir(self.refs_dir):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(self.refs_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.refs_dir, fn)) as f:
+                    out[fn[:-5]] = int(json.load(f)["epoch"])
+        return out
+
+    def ref_epoch(self, name: str) -> int:
+        try:
+            with open(os.path.join(self.refs_dir, f"{name}.json")) as f:
+                return int(json.load(f)["epoch"])
+        except FileNotFoundError:
+            raise KeyError(f"no such ref: {name!r}") from None
+
+    def drop_ref(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self.refs_dir, f"{name}.json"))
+        except FileNotFoundError:
+            raise KeyError(f"no such ref: {name!r}") from None
+
+    def fast_forward(self, name: str, epoch: int | None = None) -> int:
+        """Advance ref `name` to `epoch` (default: the chain head) —
+        the WAP publish step. Forward-only by contract: a backward move
+        raises (an explicit rewind is `set_ref`, and state rewinds
+        should be `rollback_to` so history stays append-only)."""
+        target = self.current_epoch() if epoch is None else epoch
+        cur = self.ref_epoch(name)  # raises if the ref doesn't exist
+        if target is None or target < cur:
+            raise ValueError(
+                f"fast_forward: ref {name!r} at {cur} cannot move back to {target}"
+            )
+        return self.set_ref(name, target)
+
     def epoch_at(self, ts) -> int:
         """Largest RETAINED epoch committed at or before `ts` — the
         Iceberg `TIMESTAMP AS OF` resolution step; pair with
@@ -1223,7 +1298,10 @@ class SnapshotTable:
         if cur is None:
             return []
         keep_from = max(0, cur - retain_last + 1)
-        tagged = set(self.tags().values())
+        # refs pin exactly like tags: an unpublished `main` must keep
+        # its manifest (and, through remove_orphans' reference scan,
+        # its data files) however far the audit chain runs ahead
+        tagged = set(self.tags().values()) | set(self.refs().values())
         expired, archived, pinned = [], [], []
         for e in range(0, keep_from):
             p = self._snap_path(e)

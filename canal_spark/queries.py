@@ -3062,3 +3062,83 @@ def table_replication_parity(spark, sf):
         "replica_matches_primary boolean, deletes_propagated boolean, "
         "resync_noop boolean",
     )
+
+
+@q(
+    "branch_wap_parity",
+    "SELECT TRUE AS staged_invisible, TRUE AS publish_is_pointer_move, "
+    "TRUE AS ref_survives_expire, TRUE AS abort_resumes_to_parity",
+)
+def branch_wap_parity(spark, sf):
+    """Branch refs + write-audit-publish (Iceberg branch /
+    fast_forward analog; plans/table.py set_ref/fast_forward): readers
+    pinned to `main` never see staged audit epochs; publishing is one
+    atomic pointer move; the ref pins its manifest against
+    expire_snapshots; and an audit FAILURE path (rollback to the
+    published epoch, which rewinds checkpoints) re-replays the aborted
+    events to the exact no-WAP final state. VALUES oracle."""
+    import shutil
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+    from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+
+    def _state(df):
+        return sorted(
+            (r.doc_id, tuple(r.tokens), r.n_tok, r.source)
+            for r in df.select("doc_id", "tokens", "n_tok", "source").collect()
+        )
+
+    tmp = tempfile.mkdtemp(prefix="canal_wap_")
+    try:
+        log = generate_changelog(
+            f"{tmp}/log", ChangelogSpec(n_events=2_000, n_partitions=2, n_keys=100)
+        )
+        # control: the same log replayed straight through, no WAP
+        ctl = SnapshotTable.create(f"{tmp}/ctl", n_buckets=4)
+        CdcEngine(spark, log, ctl, lsn_budget=400).run_to_completion()
+        expected = _state(ctl.read(spark, with_bucket=False))
+
+        t = SnapshotTable.create(f"{tmp}/t", n_buckets=4)
+        eng = CdcEngine(spark, log, t, lsn_budget=400)
+        eng.run_epoch()
+        published = t.set_ref("main")
+        pub_state = _state(t.read(spark, ref="main", with_bucket=False))
+        eng.run_epoch()
+        eng.run_epoch()
+        head = t.current_epoch()
+        staged_invisible = (
+            _state(t.read(spark, ref="main", with_bucket=False)) == pub_state
+            and _state(t.read(spark, with_bucket=False)) != pub_state
+        )
+        # audit passes → publish; the ref'd read becomes the head read
+        t.fast_forward("main")
+        publish_move = t.ref_epoch("main") == head and _state(
+            t.read(spark, ref="main", with_bucket=False)
+        ) == _state(t.read(spark, epoch=head, with_bucket=False))
+        # pin: point main back at the published epoch, stage the rest,
+        # expire aggressively — the ref'd manifest must survive
+        t.set_ref("main", published)
+        eng.run_epoch()
+        t.expire_snapshots(retain_last=1)
+        survives = (
+            _state(t.read(spark, ref="main", with_bucket=False)) == pub_state
+        )
+        # audit fails → abort: rollback to main (checkpoints rewind),
+        # a fresh engine replays the aborted events to full parity
+        t.rollback_to(published)
+        eng2 = CdcEngine(spark, log, SnapshotTable(f"{tmp}/t"), lsn_budget=400)
+        eng2.run_to_completion()
+        eng2.table.fast_forward("main")
+        abort_parity = (
+            _state(eng2.table.read(spark, ref="main", with_bucket=False))
+            == expected
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(staged_invisible, publish_move, survives, abort_parity)],
+        "staged_invisible boolean, publish_is_pointer_move boolean, "
+        "ref_survives_expire boolean, abort_resumes_to_parity boolean",
+    )

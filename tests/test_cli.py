@@ -49,6 +49,9 @@ def test_cli_replay_status_maintain_roundtrip(changelog_dir, tmp_path):
     # pin an old epoch by name before aggressive maintenance
     tg = _run("tag", "--table", table, "--name", "keep", "--epoch", "1")
     assert tg == {"tag": "keep", "epoch": 1}
+    # a branch ref pins the same way and can later move (WAP surface)
+    rf = _run("ref", "--table", table, "--name", "main", "--epoch", "1")
+    assert rf == {"ref": "main", "epoch": 1}
     # maintenance: expire + compact + gc
     mt = _run(
         "maintain", "--table", table, "--expire-retain", "1",
@@ -60,6 +63,11 @@ def test_cli_replay_status_maintain_roundtrip(changelog_dir, tmp_path):
     assert 1 not in mt["expired_snapshots"]
     assert _run("tag", "--table", table)["tags"] == {"keep": 1}
     assert _run("tag", "--table", table, "--drop", "keep")["tags"] == {}
+    assert _run("ref", "--table", table)["refs"] == {"main": 1}
+    # maintenance commits epochs of its own, so the head only moved forward
+    ff = _run("ref", "--table", table, "--fast-forward", "main")
+    assert ff["epoch"] >= st["epoch"]
+    assert _run("ref", "--table", table, "--drop", "main")["refs"] == {}
     # table still readable at the same row count
     st2 = _run("status", "--table", table)
     assert st2["epoch"] >= st["epoch"]
