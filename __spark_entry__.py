@@ -89,6 +89,7 @@ _SAMPLE_FIRST = [
     "time_travel_timestamp",
     "table_replication_parity",
     "branch_wap_parity",
+    "dedup_segments",
     "incremental_changes_consistent",
     "stream_replay_parity",
     "token_budget_cap",

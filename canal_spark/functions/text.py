@@ -356,6 +356,78 @@ def winnowing_fingerprints(
     )
 
 
+def dedup_segments(
+    df,
+    seg_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-level segment (paragraph/line) dedup, CCNet-style: split
+    each document into consecutive `seg_words`-word segments, count
+    each distinct segment's document frequency across the WHOLE corpus,
+    and drop every occurrence of any segment that appears in ≥2
+    documents (boilerplate headers/footers/license blocks — the
+    dominant web-crawl noise CCNet removes at the paragraph level).
+    Intra-doc repeats of a corpus-unique segment are kept (that
+    pathology is `intra_doc_repetition`'s gate). Emits one row per
+    input document: the surviving segments re-joined in original order
+    (possibly empty) plus kept/dropped counts.
+
+    Scale: explode to segment granularity (scan-side, codegen), ONE
+    hash aggregate on the segment string for the frequency relation
+    (partial map-side combine collapses within-partition repeats), one
+    equi-join back (broadcast when the duplicated-segment set is small
+    — it usually is; Spark's AQE decides from runtime stats), one
+    reassembly shuffle on the doc id. No window over the full corpus,
+    no driver-side state; each stage is linear in segment count, so the
+    plan survives 100× corpus growth by adding executors."""
+    words = F.split(F.col(text_col), " ")
+    n_segs = F.greatest(
+        F.ceil(F.size(words) / F.lit(seg_words)).cast("int"), F.lit(1)
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * seg_words + 1, seg_words), " "
+        ),
+    )
+    seg_rows = df.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    seg_df = seg_rows.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("_ndocs")
+    )
+    return (
+        seg_rows.join(seg_df, "seg")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_ndocs") == 1,
+                                    F.struct(F.col("pos"), F.col("seg")),
+                                )
+                            )
+                        ),
+                        lambda s: s.seg,
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("_ndocs") == 1, 1).otherwise(0))
+            .cast("int")
+            .alias("segs_kept"),
+            F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0))
+            .cast("int")
+            .alias("segs_dropped"),
+        )
+    )
+
+
 def cap_token_budget(
     df,
     budget: int,

@@ -3142,3 +3142,31 @@ def branch_wap_parity(spark, sf):
         "staged_invisible boolean, publish_is_pointer_move boolean, "
         "ref_survives_expire boolean, abort_resumes_to_parity boolean",
     )
+
+
+SEG_DEDUP_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[(i*8+1):(i*8+8)], ' ') AS seg
+  FROM w, UNNEST(range(0, GREATEST(CAST(ceil(len(words)/8.0) AS INT), 1))) AS t(i)),
+df AS (SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM s GROUP BY seg)
+SELECT s.doc_id,
+       COALESCE(string_agg(CASE WHEN df.ndocs = 1 THEN s.seg END, ' '
+                           ORDER BY s.pos), '') AS clean_text,
+       CAST(COUNT(*) FILTER (df.ndocs = 1) AS INT) AS segs_kept,
+       CAST(COUNT(*) FILTER (df.ndocs > 1) AS INT) AS segs_dropped
+FROM s JOIN df USING (seg)
+GROUP BY s.doc_id
+"""
+
+
+@q("dedup_segments", SEG_DEDUP_SQL)
+def dedup_segments_q(spark, sf):
+    """Corpus-level segment dedup (P22, CCNet paragraph-dedup analog):
+    every occurrence of any 8-word segment shared by ≥2 documents is
+    dropped; survivors re-join in original order. Exact duplicate
+    documents lose ALL their segments (every segment shared), so this
+    also subsumes boilerplate removal. FULL row-level SQL oracle."""
+    return TX.dedup_segments(load(spark, sf, "documents"), seg_words=8)

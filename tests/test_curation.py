@@ -61,3 +61,39 @@ def test_cap_token_budget_keeps_per_source_prefix(spark):
     # source a: 40+50=90 fits, +20 -> 110 drops 3 AND the cumulative
     # rule drops 4 too (cum 115 > 100) — prefix, not best-fit
     assert got == {1, 2, 5}
+
+
+def test_dedup_segments_drops_cross_doc_boilerplate(spark):
+    """P22: a segment shared by ≥2 docs vanishes from ALL of them;
+    corpus-unique segments survive in original order; a fully-
+    boilerplate doc still emits a row with empty clean_text."""
+    boiler = " ".join(f"b{i}" for i in range(8))  # one exact 8-word segment
+    u = lambda tag: " ".join(f"{tag}{i}" for i in range(8))
+    rows = [
+        ("d1", f"{u('x')} {boiler} {u('y')}"),   # boiler in the middle
+        ("d2", f"{boiler} {u('z')}"),            # boiler leading
+        ("d3", boiler),                          # nothing but boiler
+        ("d4", u("w")),                          # untouched control
+    ]
+    out = {
+        r.doc_id: r
+        for r in TX.dedup_segments(
+            spark.createDataFrame(rows, "doc_id string, text string"),
+            seg_words=8,
+        ).collect()
+    }
+    assert out["d1"].clean_text == f"{u('x')} {u('y')}"
+    assert (out["d1"].segs_kept, out["d1"].segs_dropped) == (2, 1)
+    assert out["d2"].clean_text == u("z")
+    assert out["d3"].clean_text == "" and out["d3"].segs_kept == 0
+    assert out["d4"].clean_text == u("w") and out["d4"].segs_dropped == 0
+    # intra-doc repeat of a corpus-unique segment is KEPT (P18's job)
+    rep = TX.dedup_segments(
+        spark.createDataFrame(
+            [("r1", f"{u('q')} {u('q')}"), ("r2", u("v"))],
+            "doc_id string, text string",
+        ),
+        seg_words=8,
+    ).collect()
+    r1 = next(r for r in rep if r.doc_id == "r1")
+    assert r1.clean_text == f"{u('q')} {u('q')}" and r1.segs_dropped == 0
