@@ -81,6 +81,7 @@ _SAMPLE_FIRST = [
     "session_window_counts",
     "windowed_event_counts",
     # new or contract-changed in r5
+    "delete_where_takedown",
     "incremental_mv_refresh",
     "rollback_replay_parity",
     "tag_retention_parity",

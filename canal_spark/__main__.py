@@ -10,7 +10,8 @@ Commands:
   status    table position: epoch, schema version, per-partition
             checkpoints, per-client cursors, lineage totals
   maintain  expire-snapshots / remove-orphans / compact-tombstones /
-            compact-files (bin-pack + merge-on-read fragment fold)
+            compact-files (bin-pack + merge-on-read fragment fold) /
+            delete-where (predicate DELETE — the takedown path)
 
 Every command is idempotent and crash-safe by construction (the engine
 commits atomically; re-running `replay` after completion is a no-op).
@@ -401,6 +402,11 @@ def cmd_maintain(args) -> int:
             str(b): {"files_before": nb, "files_after": na}
             for b, (nb, na) in packed.items()
         }
+    if args.delete_where is not None:
+        spark = _spark(args.master, args.cpus)
+        hits = table.delete_where(spark, args.delete_where)
+        out["deleted_rows"] = sum(hits.values())
+        out["deleted_buckets"] = {str(b): n for b, n in sorted(hits.items())}
     if args.gc:
         out["orphans_removed"] = table.remove_orphans(min_age_seconds=args.gc_min_age)
     print(json.dumps(out))
@@ -565,6 +571,10 @@ def main(argv: list[str] | None = None) -> int:
                     "guard as --gc applies to concurrent writers).")
     mt.add_argument("--changelog", default=None,
                     help="required with --compact (partition extents)")
+    mt.add_argument("--delete-where", default=None, metavar="PREDICATE",
+                    help="predicate DELETE (takedown path): remove every row "
+                    "matching this SQL boolean as one CoW commit epoch; "
+                    "deleted rows stay time-travel-readable until expired")
     mt.add_argument("--gc", action="store_true")
     mt.add_argument("--gc-min-age", type=float, default=300.0)
     mt.set_defaults(fn=cmd_maintain)

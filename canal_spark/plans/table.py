@@ -1596,6 +1596,102 @@ class SnapshotTable:
             "writer is outpacing maintenance; rerun when ingest is quieter"
         )
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        max_retries: int = 5,
+    ) -> dict[int, int]:
+        """Predicate DELETE (Iceberg `DELETE FROM ... WHERE` CoW analog):
+        remove every visible row matching `predicate` — an ANSI SQL
+        boolean over the table's user columns — as ONE commit epoch.
+        The takedown / right-to-be-forgotten path of a training-data
+        lake: "drop everything from source X" must be a first-class,
+        crash-safe operation at 100 TB, not a full-table re-ingest.
+
+        Two-phase, so the rewrite cost is O(affected buckets):
+        1. one resolved scan finds the buckets containing matches
+           (an arbitrary predicate can't use the key-bounds manifest
+           stats, so the FIND phase reads every bucket once — but it
+           reads only the predicate's columns, column-pruned);
+        2. only those buckets are rewritten (key-sorted, range-disjoint
+           files via `write_bucketed`, same as compaction), everything
+           else is carried forward by reference.
+
+        Semantics notes:
+        - NULL predicate results keep the row (SQL DELETE semantics:
+          only definite matches are deleted).
+        - merge metadata (`_seq`) and tombstone markers are preserved
+          for surviving rows — late out-of-order events older than a
+          surviving row still lose, exactly as before the delete.
+          Deleted rows are PHYSICALLY removed (no tombstone): a later
+          event for that key re-inserts it, which is the documented
+          difference from an in-band DELETE event.
+        - the epoch is committed UNMARKED for CDF (`changes=None`), so
+          `read_changes` over a range containing it falls back to the
+          snapshot diff and reports the removed rows as DELETEs with
+          their before-images — correct, at diff cost; fine for a rare
+          maintenance op.
+
+        Optimistic-commit loop identical to compact_files: staged files
+        under a unique dir, exclusive snapshot publish, replan-on-race.
+        Returns {bucket: rows_deleted}; empty dict = no matches, no
+        epoch committed."""
+        for _attempt in range(max_retries):
+            snap = self.snapshot()
+            state = self.read(spark, epoch=snap["epoch"], internal=True)
+            match = F.coalesce(F.expr(predicate), F.lit(False)) & ~F.coalesce(
+                F.col("_tombstone"), F.lit(False)
+            )
+            hits = {
+                int(r["bucket"]): int(r["n"])
+                for r in state.filter(match)
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if not hits:
+                return {}
+            epoch = snap["epoch"] + 1
+            affected = sorted(hits)
+            cols = [f["name"] for f in snap["schemas"][str(snap["schema_ver"])]]
+            kept = (
+                self.read(
+                    spark, epoch=snap["epoch"], buckets=affected, internal=True
+                )
+                .filter(~match)
+                .select(*cols, "_seq", "_tombstone", "bucket")
+            )
+            out_dir = os.path.join(
+                self.data_dir, f"epoch={epoch}-delete-{uuid.uuid4().hex[:8]}"
+            )
+            write_bucketed(
+                kept,
+                out_dir,
+                snap["key_col"],
+                n_tasks=len(affected),
+                max_rows=snap.get("target_file_rows"),
+            )
+            files = self._list_bucket_files(out_dir)
+            try:
+                committed = self.commit(
+                    epoch,
+                    rewritten={b: files.get(b, []) for b in affected},
+                    checkpoints={},
+                    lineage=[],
+                    meta={"last_delete_where": predicate},
+                )
+            except ValueError:
+                committed = False  # current epoch advanced past ours
+            if committed:
+                return hits
+            # conflict: replan on the fresh snapshot (the matching row
+            # set may have changed) and retry; staged files orphan
+        raise RuntimeError(
+            f"delete_where: {max_retries} consecutive commit conflicts — "
+            "writer is outpacing maintenance; rerun when ingest is quieter"
+        )
+
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
         """Bucket-layout evolution: rewrite the table into
         `new_n_buckets` hash buckets as ONE commit epoch. A long-lived

@@ -3170,3 +3170,71 @@ def dedup_segments_q(spark, sf):
     documents lose ALL their segments (every segment shared), so this
     also subsumes boilerplate removal. FULL row-level SQL oracle."""
     return TX.dedup_segments(load(spark, sf, "documents"), seg_words=8)
+
+
+# ======================================================================
+# predicate DELETE — takedown / right-to-be-forgotten (r5 s6)
+# ======================================================================
+TAKEDOWN_SQL = f"""WITH mapped AS (
+  SELECT event_id AS lsn, user_id AS key, {OP_SQL_CASE} AS op FROM events
+), applied AS (
+  SELECT *, 'src' || CAST(key % 10 AS VARCHAR) AS source
+  FROM mapped WHERE op IN ('INSERT','UPDATE','DELETE')
+), lww AS (
+  SELECT key, op, lsn, source,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY lsn DESC) AS rn
+  FROM applied
+)
+SELECT CAST(key AS VARCHAR) AS doc_id,
+       CAST(lsn % 1000000 AS INT) AS last_tok,
+       CAST(1 AS INT) AS n_tok, source
+FROM lww WHERE rn = 1 AND op <> 'DELETE' AND source <> 'src3'"""
+
+
+@q("delete_where_takedown", TAKEDOWN_SQL)
+def delete_where_takedown(spark, sf):
+    """Predicate DELETE as a first-class table operation (Iceberg
+    `DELETE FROM ... WHERE` CoW analog; the takedown / right-to-be-
+    forgotten path of a training-data lake): replay the mapped events
+    changelog through the REAL engine into a SnapshotTable, then
+    `delete_where("source = 'src3'")` — a two-phase, O(affected
+    buckets) CoW rewrite committed as one optimistic epoch. The oracle
+    replays the same LWW final state and filters the predicate out:
+    the engine's post-takedown table must match it row-for-row."""
+    import shutil
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+
+    ch = load(spark, sf, "events").select(
+        F.expr(OP_SQL_CASE).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        (F.col("user_id") % 8).cast("int").alias("source_partition"),
+        F.col("event_id").alias("tx_id"),
+        F.lit(True).alias("tx_commit"),
+        F.col("ts"),
+        F.array((F.col("event_id") % 1000000).cast("int")).alias("tokens"),
+        F.lit(1).cast("int").alias("n_tok"),
+        F.concat(F.lit("src"), (F.col("user_id") % 10).cast("string")).alias("source"),
+        F.lit(1).cast("int").alias("schema_ver"),
+    )
+    tmp = tempfile.mkdtemp(prefix="canal_takedown_")
+    try:
+        ch.write.mode("overwrite").parquet(f"{tmp}/log")
+        table = SnapshotTable.create(f"{tmp}/table", n_buckets=8)
+        CdcEngine(spark, f"{tmp}/log", table, lsn_budget=10**9).run_to_completion()
+        table.delete_where(spark, "source = 'src3'")
+        out = table.read(spark, with_bucket=False).select(
+            "doc_id",
+            F.element_at("tokens", 1).alias("last_tok"),
+            "n_tok",
+            "source",
+        )
+        rows = out.collect()  # materialize before the fixture is removed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id string, last_tok int, n_tok int, source string"
+    )

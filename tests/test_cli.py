@@ -229,3 +229,19 @@ def test_cli_multi_replay_and_multi_stream(changelog_dir, tmp_path):
     assert gs["group_epoch"] == r1["group_epoch"]
     assert gs["checkpoints"] == {str(k): v for k, v in r1["checkpoints"].items()}
     assert set(gs["tables"]) == {"low", "high"}
+
+
+def test_cli_delete_where(changelog_dir, tmp_path):
+    """maintain --delete-where: predicate takedown from the CLI, own
+    process; second run reports zero (idempotent outcome)."""
+    table = str(tmp_path / "tdw")
+    _run("replay", "--changelog", changelog_dir, "--table", table,
+         "--buckets", "8", "--lsn-budget", "1000000000")
+    st = _run("status", "--table", table)
+    mt = _run("maintain", "--table", table, "--delete-where", "source = 'src1'")
+    assert mt["deleted_rows"] > 0
+    assert sum(mt["deleted_buckets"].values()) == mt["deleted_rows"]
+    st2 = _run("status", "--table", table)
+    assert st2["epoch"] == st["epoch"] + 1
+    mt2 = _run("maintain", "--table", table, "--delete-where", "source = 'src1'")
+    assert mt2["deleted_rows"] == 0 and mt2["deleted_buckets"] == {}

@@ -373,3 +373,84 @@ def test_rebucket_mid_replay_preserves_state_and_resume(
     some_bucket = int(table.read(spark).select("bucket").first()[0])
     pruned = table.read(spark, buckets=[some_bucket])
     assert 0 < pruned.count() < pre_rows
+
+
+# ----------------------------------------------------------------------
+# predicate DELETE (delete_where) — takedown path
+# ----------------------------------------------------------------------
+def test_delete_where_matches_filtered_oracle(spark, changelog_dir, oracle_state, tmp_path):
+    table, eng = _replay_many_epochs(spark, changelog_dir, str(tmp_path / "dw"))
+    n_src2 = int((oracle_state.source == "src2").sum())
+    assert n_src2 > 0, "fixture must have src2 rows"
+    hits = table.delete_where(spark, "source = 'src2'")
+    assert sum(hits.values()) == n_src2
+    assert_state_equals_oracle(
+        table.read(spark), oracle_state[oracle_state.source != "src2"]
+    )
+    # no-match second pass commits nothing
+    e = table.current_epoch()
+    assert table.delete_where(spark, "source = 'src2'") == {}
+    assert table.current_epoch() == e
+    # time travel: pre-delete snapshot still oracle-exact
+    assert_state_equals_oracle(table.read(spark, epoch=e - 1), oracle_state)
+    # re-apply of the last engine epoch is still a no-op post-delete
+    assert eng.run_epoch() is None
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, changelog_dir, oracle_state, tmp_path):
+    """SQL DELETE semantics: only definite TRUE matches are deleted —
+    a predicate evaluating to NULL keeps the row. n_tok IS NULL never
+    happens for visible rows, so build a NULL-producing predicate from
+    element_at past the array end (NULL for short token arrays)."""
+    table, _ = _replay_many_epochs(spark, changelog_dir, str(tmp_path / "dwn"))
+    import pyspark.sql.functions as F
+
+    pred = "try_element_at(tokens, 9) > 0"  # NULL where n_tok < 9
+    vis = table.read(spark)
+    expected = vis.filter(F.expr(pred)).count()
+    nulls = vis.filter(F.expr(pred).isNull()).count()
+    assert expected > 0 and nulls > 0, "fixture must exercise both sides"
+    hits = table.delete_where(spark, pred)
+    assert sum(hits.values()) == expected
+    after = table.read(spark)
+    assert after.filter(F.expr(pred)).count() == 0
+    assert after.filter(F.expr(pred).isNull()).count() == nulls
+
+
+def test_delete_where_physical_removal_allows_reinsert(spark, changelog_dir, tmp_path):
+    """delete_where physically removes rows (no tombstone): a LATER
+    event for the key re-inserts it — the documented difference from
+    an in-band DELETE event, whose tombstone shields the key. Uses a
+    PRIVATE copy of the changelog so the session fixture stays clean."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.sources.changelog import SCHEMA as CH_SCHEMA
+
+    log = str(tmp_path / "dwr_log")
+    shutil.copytree(changelog_dir, log)
+    table, _ = _replay_many_epochs(spark, log, str(tmp_path / "dwr"))
+    victim = table.read(spark).select("doc_id").first()["doc_id"]
+    hits = table.delete_where(spark, f"doc_id = '{victim}'")
+    assert sum(hits.values()) == 1
+    assert table.read(spark).filter(f"doc_id = '{victim}'").count() == 0
+    # append a new changelog file carrying a later INSERT for the victim
+    max_lsn = max(table.checkpoints().values())
+    row = {
+        "op": ["INSERT"], "doc_id": [victim], "lsn": [max_lsn + 10],
+        "source_partition": [0], "tx_id": [10**9], "tx_commit": [True],
+        "ts": pa.array([1_767_225_600_000_000 + 10**9], type=pa.timestamp("us")),
+        "tokens": [[7, 7, 7]], "n_tok": [3], "source": ["src0"],
+        "schema_ver": [1],
+    }
+    pq.write_table(
+        pa.table(row, schema=CH_SCHEMA), os.path.join(log, "part-reinsert.parquet")
+    )
+    # extents are computed once per engine run (by design): a resumed
+    # tail is a FRESH engine against the same table + checkpoints
+    CdcEngine(spark, log, table, lsn_budget=400).run_to_completion()
+    back = table.read(spark).filter(f"doc_id = '{victim}'").collect()
+    assert len(back) == 1 and list(back[0]["tokens"]) == [7, 7, 7]
