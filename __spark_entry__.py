@@ -82,6 +82,7 @@ _SAMPLE_FIRST = [
     "windowed_event_counts",
     # new or contract-changed in r5
     "delete_where_takedown",
+    "partial_update_collapse",
     "incremental_mv_refresh",
     "rollback_replay_parity",
     "tag_retention_parity",

@@ -153,3 +153,107 @@ def lww_collapse_salted(
         .join(F.broadcast(winners), [key, "_ord"])
         .select(key, *payload_cols)
     )
+
+
+def lww_collapse_partial(
+    df: DataFrame,
+    key: str = "doc_id",
+    order_cols: tuple[str, ...] = ORDER_COLS,
+    payload_cols: tuple[str, ...] = (),
+    updated_col: str = "updated_cols",
+    broadcast_winners: bool = True,
+) -> DataFrame:
+    """COLUMN-level last-writer-wins: collapse a changelog whose UPDATE
+    events carry only a SUBSET of the payload columns.
+
+    Canal marks each column of an UPDATE row with an `updated` flag
+    [C: protocol/.../EntryProtocol.proto :: Column#updated] and its RDB
+    adapter applies ONLY the changed columns
+    [C: client-adapter/rdb/.../RdbSyncService.java :: update sets
+    changed columns by the flag]; MQ flat formats likewise ship sparse
+    row images. Row-level LWW (`lww_collapse`) is wrong for such a
+    stream: the last event's missing columns would null out older
+    writes that are still current.
+
+    Semantics (events applied in packed total order per key):
+    - INSERT writes EVERY payload column (full row image; missing
+      values are genuine NULLs);
+    - UPDATE writes exactly the columns named in `updated_col`
+      (array<string>); an UPDATE to an absent key upserts a partial
+      row (the adapter's insert-on-miss path);
+    - DELETE removes the row — columns written before the delete are
+      gone; only writes AFTER the latest delete survive.
+    Final value of column c = the value carried by the LATEST event
+    that writes c after the key's latest DELETE; NULL if none.
+
+    Scale shape — the per-column generalization of lww_collapse's
+    "max-ord + winner join", same reasons (see module docstring):
+    1. ONE fixed-width HashAggregate per key computes the latest
+       DELETE ord and, per payload column, the latest writing ord —
+       all BIGINTs, map-side partial combine, shuffled rows are
+       payload-free (key + k+1 longs);
+    2. the winner frame (one narrow row per key) joins back to the
+       event stream keyed on `key` alone, broadcast when small —
+       the wide payload never shuffles or sorts;
+    3. rows matching NO per-column winner ord are filtered at the
+       join, and one tiny per-key aggregate (≤ k surviving rows per
+       key) picks each column from its own winner row.
+    """
+    if not payload_cols:
+        raise ValueError("payload_cols is required (per-column semantics)")
+    ord_col = _packed_order(order_cols)
+    ev = df.withColumn("_ord", ord_col)
+    is_ins = F.col("op") == "INSERT"
+    is_upd = F.col("op") == "UPDATE"
+
+    def writes(c: str):
+        return is_ins | (is_upd & F.array_contains(F.col(updated_col), c))
+
+    agg = ev.groupBy(key).agg(
+        F.max(F.when(F.col("op") == "DELETE", F.col("_ord"))).alias("_del"),
+        *[F.max(F.when(writes(c), F.col("_ord"))).alias(f"_w_{c}") for c in payload_cols],
+    )
+    winners = agg.select(
+        key,
+        *[
+            F.when(
+                F.col(f"_w_{c}") > F.coalesce(F.col("_del"), F.lit(-(2**62))),
+                F.col(f"_w_{c}"),
+            ).alias(f"_w_{c}")
+            for c in payload_cols
+        ],
+    ).filter(
+        # row visible iff ANY column survives the latest delete
+        F.greatest(*[F.col(f"_w_{c}").isNotNull() for c in payload_cols])
+    )
+    if broadcast_winners:
+        winners = F.broadcast(winners)
+    j = ev.join(winners, [key]).filter(
+        # keep only rows that ARE some column's winner (each key yields
+        # <= len(payload_cols) rows here)
+        F.greatest(*[(F.col("_ord") == F.col(f"_w_{c}")) for c in payload_cols])
+    )
+    # Final per-key assembly. `max(when(ord==w_c, c))` would be the
+    # obvious reduction, but max/first over ARRAY payloads is a
+    # declarative aggregate with a non-mutable buffer -> SortAggregate
+    # (sorts the winner rows, which are final-state-sized — the exact
+    # cost lww_collapse exists to avoid). collect_list is a
+    # TypedImperativeAggregate -> ObjectHashAggregate: hash-based, no
+    # sort, and bounded at <= len(payload_cols) rows per key by the
+    # winner filter above.
+    rows_struct = F.struct(F.col("_ord").alias("o"), *[F.col(c) for c in payload_cols])
+    packed = j.groupBy(key).agg(
+        F.collect_list(rows_struct).alias("_rows"),
+        *[F.max(F.col(f"_w_{c}")).alias(f"_w_{c}") for c in payload_cols],
+    )
+    def _pick(c: str):
+        # single-arg lambda (a second arg would make PySpark pass the
+        # element index); the outer-column reference resolves against
+        # `packed`
+        # try_element_at: the filtered list is EMPTY when the column
+        # has no surviving winner (ANSI element_at would throw)
+        return F.try_element_at(
+            F.filter("_rows", lambda r: r["o"] == F.col(f"_w_{c}")), F.lit(1)
+        )[c].alias(c)
+
+    return packed.select(key, *[_pick(c) for c in payload_cols])

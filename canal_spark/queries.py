@@ -3238,3 +3238,60 @@ def delete_where_takedown(spark, sf):
     return spark.createDataFrame(
         rows, "doc_id string, last_tok int, n_tok int, source string"
     )
+
+
+# ======================================================================
+# column-level partial updates — canal Column#updated parity (r5 s6)
+# ======================================================================
+PARTIAL_SQL = f"""WITH mapped AS (
+  SELECT event_id AS lsn, user_id AS key, value, props,
+         {OP_SQL_CASE} AS op FROM events
+), ev AS (
+  SELECT key, lsn, op, value, props,
+    (op = 'INSERT' OR (op = 'UPDATE' AND lsn % 3 IN (0, 2))) AS wv,
+    (op = 'INSERT' OR (op = 'UPDATE' AND lsn % 3 IN (1, 2))) AS wp
+  FROM mapped WHERE op IN ('INSERT','UPDATE','DELETE')
+), agg AS (
+  SELECT key,
+    COALESCE(MAX(CASE WHEN op = 'DELETE' THEN lsn END), -1) AS del_ord,
+    MAX(CASE WHEN wv THEN lsn END) AS owv,
+    MAX(CASE WHEN wp THEN lsn END) AS owp
+  FROM ev GROUP BY key
+), win AS (
+  SELECT key,
+    CASE WHEN owv > del_ord THEN owv END AS owv,
+    CASE WHEN owp > del_ord THEN owp END AS owp
+  FROM agg
+)
+SELECT w.key, v.value AS last_value, p.props AS last_props
+FROM win w
+LEFT JOIN ev v ON v.key = w.key AND v.lsn = w.owv
+LEFT JOIN ev p ON p.key = w.key AND p.lsn = w.owp
+WHERE w.owv IS NOT NULL OR w.owp IS NOT NULL"""
+
+
+@q("partial_update_collapse", PARTIAL_SQL)
+def partial_update_collapse(spark, sf):
+    """Column-level LWW over sparse UPDATE events (canal Column#updated
+    parity: an UPDATE carries only its changed columns, so row-level
+    LWW would null out older still-current writes). UPDATE lsn%3=0
+    writes `value`, 1 writes `props`, 2 writes both; INSERT writes all;
+    DELETE kills the row and only later writes survive. The oracle
+    replays the same per-column winner rule in ANSI SQL."""
+    from canal_spark.operators.filters import op_filter
+    from canal_spark.operators.lww import lww_collapse_partial
+
+    ch = op_filter(events_as_changelog(spark, sf)).withColumn(
+        "updated_cols",
+        F.when(F.col("op") != "UPDATE", F.array(F.lit("value"), F.lit("props")))
+        .when(F.col("lsn") % 3 == 0, F.array(F.lit("value")))
+        .when(F.col("lsn") % 3 == 1, F.array(F.lit("props")))
+        .otherwise(F.array(F.lit("value"), F.lit("props"))),
+    )
+    return lww_collapse_partial(
+        ch, key="key", order_cols=("lsn",), payload_cols=("value", "props")
+    ).select(
+        "key",
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )

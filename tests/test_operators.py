@@ -144,3 +144,97 @@ def test_train_val_split_boundary_fracs(spark):
     assert none_val.filter(F.col("split") == "val").count() == 0
     some = train_val_split(d, val_frac=0.25).filter(F.col("split") == "val").count()
     assert 20 <= some <= 80, f"0.25 split wildly off: {some}/200"
+
+
+def test_partial_update_collapse_semantics(spark):
+    """Column-level LWW corner cases: sparse updates never null out
+    older still-current writes; DELETE clears everything before it;
+    UPDATE after DELETE recreates a partial row; INSERT resets ALL
+    columns (a pre-insert sparse write must not leak through); an
+    explicit NULL written by a winning event IS the final value."""
+    from canal_spark.operators.lww import lww_collapse_partial
+
+    rows = [
+        # key a: insert full, then sparse updates to each column
+        ("INSERT", "a", 1, ["x", "y"], "v1", "p1"),
+        ("UPDATE", "a", 2, ["x"], "v2", None),     # writes x only
+        ("UPDATE", "a", 3, ["y"], None, "p3"),     # writes y only
+        # key b: delete clears; later sparse update recreates partially
+        ("INSERT", "b", 1, ["x", "y"], "bv", "bp"),
+        ("DELETE", "b", 2, [], None, None),
+        ("UPDATE", "b", 3, ["y"], None, "bp3"),
+        # key c: sparse update BEFORE a re-insert must not survive it
+        ("INSERT", "c", 1, ["x", "y"], "cv1", "cp1"),
+        ("UPDATE", "c", 2, ["y"], None, "cp2"),
+        ("DELETE", "c", 3, [], None, None),
+        ("INSERT", "c", 4, ["x", "y"], "cv4", None),  # explicit NULL y
+        # key d: only deletes -> absent
+        ("DELETE", "d", 1, [], None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, k string, lsn long, updated_cols array<string>, x string, y string"
+    )
+    out = {
+        r["k"]: (r["x"], r["y"])
+        for r in lww_collapse_partial(
+            df, key="k", order_cols=("lsn",), payload_cols=("x", "y")
+        ).collect()
+    }
+    assert out == {
+        "a": ("v2", "p3"),
+        "b": (None, "bp3"),
+        "c": ("cv4", None),
+    }
+
+
+def test_partial_update_plan_is_sortfree_and_broadcast(spark, changelog_dir):
+    """Same plan contract as lww_collapse: fixed-width hash aggregate
+    (no Sort/SortAggregate before the winner join) and a broadcast
+    winner join — the wide payload never shuffles."""
+    from canal_spark.operators.lww import lww_collapse_partial
+
+    df = (
+        spark.read.parquet(changelog_dir)
+        .filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+        .withColumn(
+            "updated_cols",
+            F.when(F.col("lsn") % 2 == 0, F.array(F.lit("tokens"), F.lit("n_tok")))
+            .otherwise(F.array(F.lit("source"))),
+        )
+    )
+    out = lww_collapse_partial(
+        df, payload_cols=("tokens", "n_tok", "source")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortAggregate" not in plan
+    # correctness spot-check vs a per-column window reference
+    from pyspark.sql import Window
+
+    ref = df.withColumn("_o", (F.col("lsn") * 4096) + F.col("source_partition"))
+    w = Window.partitionBy("doc_id")
+    dels = ref.withColumn(
+        "_del", F.max(F.when(F.col("op") == "DELETE", F.col("_o"))).over(w)
+    )
+    per_col = {}
+    for c in ("tokens", "n_tok", "source"):
+        writes = (F.col("op") == "INSERT") | (
+            (F.col("op") == "UPDATE") & F.array_contains("updated_cols", c)
+        )
+        x = dels.withColumn(
+            "_wc", F.max(F.when(writes, F.col("_o"))).over(w)
+        ).filter(
+            (F.col("_o") == F.col("_wc"))
+            & (F.col("_wc") > F.coalesce(F.col("_del"), F.lit(-(2**62))))
+        )
+        per_col[c] = {r["doc_id"]: r[c] for r in x.select("doc_id", c).collect()}
+    got = {r["doc_id"]: r for r in out.collect()}
+    keys = set().union(*[set(v) for v in per_col.values()])
+    assert set(got) == keys
+    for k in keys:
+        for c in ("tokens", "n_tok", "source"):
+            exp = per_col[c].get(k)
+            gv = got[k][c]
+            assert (list(gv) if isinstance(gv, list) and False else gv) == exp or (
+                list(gv or []) == list(exp or []) if c == "tokens" else gv == exp
+            ), (k, c, gv, exp)
