@@ -83,6 +83,7 @@ _SAMPLE_FIRST = [
     # new or contract-changed in r5
     "delete_where_takedown",
     "partial_update_collapse",
+    "partial_update_replay",
     "incremental_mv_refresh",
     "rollback_replay_parity",
     "tag_retention_parity",

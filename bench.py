@@ -64,6 +64,7 @@ def run_until_converged(fn, min_runs: int, max_runs: int, wall_of=lambda r: r):
 
 HEADLINE = [
     "lww_dedup_last_event",
+    "partial_update_collapse",
     "merge_upsert_final_state",
     "join_enrich_broadcast",
     "topk_hot_keys",

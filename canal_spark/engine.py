@@ -86,6 +86,7 @@ class CdcEngine:
         auto_compact_fragments: int | None = None,
         compact_target_bytes: int = 128 << 20,
         capture_changes: bool = False,
+        partial_updates: bool = False,
     ):
         self.spark = spark
         self.changelog_path = changelog_path
@@ -153,6 +154,24 @@ class CdcEngine:
         #: buckets inside the write job — the same data the CoW merge
         #: reads anyway. Off by default.
         self.capture_changes = capture_changes
+        #: sparse row images (canal Column#updated parity): UPDATE
+        #: events carry only the columns named in their `updated_cols`
+        #: array; the merge coalesces unwritten columns from the stored
+        #: row per key (lww_collapse_partial_delta +
+        #: merge_epoch(partial=True)). Valid only with the in-order CoW
+        #: path: MoR read-resolution and CDF capture classification are
+        #: row-granular (`_seq` names ONE producing event per row, but a
+        #: partially-updated row is a composite of several), and sink
+        #: fan-out ships the delta as full row images — all three are
+        #: rejected rather than silently mis-applied.
+        self.partial_updates = partial_updates
+        if partial_updates and (
+            write_mode != "cow" or capture_changes or self.sinks
+        ):
+            raise ValueError(
+                "partial_updates requires write_mode='cow', "
+                "capture_changes=False and no sinks"
+            )
         self._extents: dict[int, int] | None = None
 
     # ------------------------------------------------------------ plan
@@ -329,14 +348,27 @@ class CdcEngine:
         watermarks (bus redelivery no-op, tests/test_bus_source.py)."""
         t0 = time.monotonic()
         try:
-            delta = lww_collapse(
-                prep.apply_df,
-                key="doc_id",
-                payload_cols=PAYLOAD_COLS,
-                broadcast_winners=prep.small,
-                with_seq=True,
-                winners=prep.winners,
-            )
+            if self.partial_updates:
+                from canal_spark.operators.lww import lww_collapse_partial_delta
+
+                # own per-key aggregate (needs per-column winner ords,
+                # not just the max prep.winners caches); the winners
+                # frame still serves the merge's anti/semi joins
+                delta = lww_collapse_partial_delta(
+                    prep.apply_df,
+                    key="doc_id",
+                    payload_cols=PAYLOAD_COLS[1:],  # data cols, sans op
+                    broadcast_winners=prep.small,
+                )
+            else:
+                delta = lww_collapse(
+                    prep.apply_df,
+                    key="doc_id",
+                    payload_cols=PAYLOAD_COLS,
+                    broadcast_winners=prep.small,
+                    with_seq=True,
+                    winners=prep.winners,
+                )
             if self.write_mode == "mor":
                 from canal_spark.operators.merge import append_epoch
 
@@ -352,6 +384,7 @@ class CdcEngine:
                     broadcast_delta=prep.small,
                     key_frame=prep.winners,
                     affected=prep.affected,
+                    partial=self.partial_updates,
                 )
             for sink in self.sinks:
                 sink.apply(self.spark, delta, prep.epoch)

@@ -257,3 +257,108 @@ def lww_collapse_partial(
         )[c].alias(c)
 
     return packed.select(key, *[_pick(c) for c in payload_cols])
+
+
+def lww_collapse_partial_delta(
+    df: DataFrame,
+    key: str = "doc_id",
+    order_cols: tuple[str, ...] = ORDER_COLS,
+    payload_cols: tuple[str, ...] = (),
+    updated_col: str = "updated_cols",
+    broadcast_winners: bool = True,
+) -> DataFrame:
+    """Per-key BATCH summary of a sparse-row-image changelog — the
+    delta form `merge_epoch(partial=True)` applies against the stored
+    state (vs `lww_collapse_partial`, which produces the final state of
+    a self-contained stream).
+
+    One row per key with:
+      - `_seq`            packed order of the key's LATEST event (the
+                          MERGE version guard, same as lww_collapse);
+      - `_had_del`        batch contains a DELETE for this key (the
+                          stored row's prior state is wiped before the
+                          batch's surviving writes apply);
+      - per payload col c: `c` = the value written by the latest event
+        writing c AFTER the batch's latest DELETE (NULL if none), and
+        `_wrote_<c>` = whether such a write exists.
+
+    Same plan shape as lww_collapse_partial (fixed-width HashAggregate,
+    broadcast winner join, ObjectHashAggregate assembly); the caller's
+    merge coalesces unwritten columns from the stored row, which is
+    valid because epochs apply IN ORDER (lsn slices are monotone), the
+    same arrival-order contract canal's adapters rely on
+    [C: client-adapter/rdb/.../RdbSyncService.java :: update sets only
+    columns flagged Column#updated]."""
+    if not payload_cols:
+        raise ValueError("payload_cols is required (per-column semantics)")
+    ord_col = _packed_order(order_cols)
+    ev = df.withColumn("_ord", ord_col)
+    is_ins = F.col("op") == "INSERT"
+    is_upd = F.col("op") == "UPDATE"
+
+    def writes(c: str):
+        return is_ins | (is_upd & F.array_contains(F.col(updated_col), c))
+
+    agg = ev.groupBy(key).agg(
+        F.max("_ord").alias("_seq"),
+        F.max(F.when(F.col("op") == "DELETE", F.col("_ord"))).alias("_del"),
+        *[F.max(F.when(writes(c), F.col("_ord"))).alias(f"_w_{c}") for c in payload_cols],
+    )
+    summary = agg.select(
+        key,
+        "_seq",
+        F.col("_del").isNotNull().alias("_had_del"),
+        *[
+            F.when(
+                F.col(f"_w_{c}") > F.coalesce(F.col("_del"), F.lit(-(2**62))),
+                F.col(f"_w_{c}"),
+            ).alias(f"_w_{c}")
+            for c in payload_cols
+        ],
+    )
+    winners = F.broadcast(summary) if broadcast_winners else summary
+    j = ev.join(winners, [key]).filter(
+        F.greatest(*[(F.col("_ord") == F.col(f"_w_{c}")) for c in payload_cols])
+        if len(payload_cols) > 1
+        else (F.col("_ord") == F.col(f"_w_{payload_cols[0]}"))
+    )
+    rows_struct = F.struct(F.col("_ord").alias("o"), *[F.col(c) for c in payload_cols])
+    packed = j.groupBy(key).agg(
+        F.collect_list(rows_struct).alias("_rows"),
+        F.max("_seq").alias("_seq"),
+        F.max("_had_del").alias("_had_del"),
+        *[F.max(F.col(f"_w_{c}")).alias(f"_w_{c}") for c in payload_cols],
+    )
+
+    def _pick(c: str):
+        return F.try_element_at(
+            F.filter("_rows", lambda r: r["o"] == F.col(f"_w_{c}")), F.lit(1)
+        )[c].alias(c)
+
+    with_winners = packed.select(
+        key,
+        "_seq",
+        "_had_del",
+        *[_pick(c) for c in payload_cols],
+        *[F.col(f"_w_{c}").isNotNull().alias(f"_wrote_{c}") for c in payload_cols],
+    )
+    # keys whose batch is DELETE-only (or writes nothing surviving) are
+    # dropped by the winner join above — reinstate them as pure-delete
+    # summaries via an anti-join on the narrow winner frame (broadcast
+    # the RIGHT side: both frames are per-key-narrow, and the left of
+    # a left_anti cannot be the broadcast build side)
+    only_del = (
+        summary.join(
+            F.broadcast(packed.select(key)) if broadcast_winners else packed.select(key),
+            [key],
+            "left_anti",
+        )
+        .select(
+            key,
+            "_seq",
+            "_had_del",
+            *[F.lit(None).alias(c) for c in payload_cols],
+            *[F.lit(False).alias(f"_wrote_{c}") for c in payload_cols],
+        )
+    )
+    return with_winners.unionByName(only_del)

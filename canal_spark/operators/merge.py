@@ -48,7 +48,8 @@ CHANGELOG_FIELD_IDS = {1: "doc_id", 2: "tokens", 3: "n_tok", 4: "source"}
 
 
 def align_to_schema(
-    delta: DataFrame, schema_fields: list[dict], key: str, by_name: bool = False
+    delta: DataFrame, schema_fields: list[dict], key: str, by_name: bool = False,
+    partial: bool = False,
 ) -> DataFrame:
     """Project changelog payload columns onto the table's current schema
     by field id (rename/widen/add handled declaratively), carrying the
@@ -57,22 +58,43 @@ def align_to_schema(
     `by_name=True` for deltas ALREADY in table-schema shape (the
     change-feed replicator): columns map by name, so post-DDL fields —
     which have no changelog field id — carry through instead of
-    nulling."""
+    nulling.
+
+    `partial=True` for sparse-row-image delta summaries
+    (lww_collapse_partial_delta): additionally carries `_had_del` and a
+    `_wrote_<field>` flag per schema field (renamed through the same id
+    map as the value; a field the changelog cannot write — post-DDL
+    adds — gets a constant False, so the merge carries it from the
+    stored row). `_tombstone` is the batch's net state IGNORING the
+    stored row (delete with no surviving writes); the partial resolve
+    recomputes visibility against the old row."""
     cols = []
+    flags = []
+    wrote_any = F.lit(False)
     for fld in schema_fields:
         src = fld["name"] if by_name else CHANGELOG_FIELD_IDS.get(fld["id"])
         if fld["name"] == key:
             continue
         if src is not None and src in delta.columns:
             cols.append(F.col(src).cast(fld["type"]).alias(fld["name"]))
+            if partial:
+                flags.append(F.col(f"_wrote_{src}").alias(f"_wrote_{fld['name']}"))
+                wrote_any = wrote_any | F.col(f"_wrote_{src}")
         else:
             cols.append(F.lit(None).cast(fld["type"]).alias(fld["name"]))
+            if partial:
+                flags.append(F.lit(False).alias(f"_wrote_{fld['name']}"))
+    tomb = (
+        (F.col("_had_del") & ~wrote_any) if partial else (F.col("op") == "DELETE")
+    )
+    extra = [F.col("_had_del"), *flags] if partial else []
     return delta.select(
         F.col(key),
         *cols,
         F.col("_seq").cast("long").alias("_seq"),
-        (F.col("op") == "DELETE").alias("_tombstone"),
+        tomb.alias("_tombstone"),
         "bucket",
+        *extra,
     )
 
 
@@ -141,6 +163,7 @@ def merge_epoch(
     key_frame: DataFrame | None = None,
     affected: list[int] | None = None,
     delta_by_name: bool = False,
+    partial: bool = False,
 ) -> dict[int, list[str]]:
     """Write epoch `e`'s rewritten buckets; return {bucket: [files]}.
 
@@ -148,6 +171,15 @@ def merge_epoch(
     columns. `delta_by_name` — see align_to_schema. Does NOT commit — the caller commits the returned file map
     atomically (engine.py), so a crash here leaves only unreferenced
     orphan files.
+
+    `partial=True` applies a sparse-row-image delta summary
+    (lww_collapse_partial_delta): column c of the stored row changes
+    only when the batch WROTE c (after its latest DELETE for the key);
+    unwritten columns carry forward from the stored row — canal's
+    Column#updated apply semantics. Requires in-order epochs (the
+    engine's lsn slices are monotone); a stale delta (`_seq` <= stored)
+    leaves the stored row untouched, which makes crash-replay
+    idempotent exactly like the full-row path.
 
     `key_frame` (optional): a small frame holding exactly the delta's
     distinct keys (the engine passes its cached LWW winners). With it,
@@ -163,7 +195,7 @@ def merge_epoch(
 
     delta = align_to_schema(
         delta.withColumn("bucket", bucket_expr(key, n_buckets)), fields, key,
-        by_name=delta_by_name,
+        by_name=delta_by_name, partial=partial,
     )
     own_persist = key_frame is None
     if own_persist:
@@ -203,18 +235,52 @@ def merge_epoch(
     untouched = old.join(delta_keys, join_on, "left_anti")
     contested = old.join(delta_keys, join_on, "left_semi")
 
-    data_cols = [f["name"] for f in fields if f["name"] != key] + ["_seq", "_tombstone"]
+    payload = [f["name"] for f in fields if f["name"] != key]
+    data_cols = payload + ["_seq", "_tombstone"]
     o, d = contested.alias("o"), delta.alias("d")
     delta_wins = F.col("d._seq") > F.coalesce(F.col("o._seq"), F.lit(-1))
-    resolved = o.join(d, ["bucket", key], "full_outer").select(
-        "bucket",
-        key,
-        *[
+    if not partial:
+        resolved_cols = [
             F.when(delta_wins | F.col("o._seq").isNull(), F.col(f"d.{c}"))
             .otherwise(F.col(f"o.{c}"))
             .alias(c)
             for c in data_cols
-        ],
+        ]
+    else:
+        # per-column coalesce against the stored row. A batch DELETE
+        # wipes the stored state first (only the batch's own post-
+        # delete writes survive); otherwise unwritten columns carry
+        # from the stored row IF it was visible — a stored tombstone's
+        # residual payload (e.g. the DELETE event's `source`) must not
+        # resurrect through a later sparse UPDATE.
+        old_visible = F.col("o._seq").isNotNull() & ~F.coalesce(
+            F.col("o._tombstone"), F.lit(True)
+        )
+        wrote = {c: F.col(f"d._wrote_{c}") for c in payload}
+        any_wrote = F.greatest(*wrote.values()) if len(payload) > 1 else wrote[payload[0]]
+        visible_after = any_wrote | (~F.col("d._had_del") & old_visible)
+        resolved_cols = [
+            F.when(~delta_wins, F.col(f"o.{c}"))
+            .otherwise(
+                F.when(
+                    visible_after,
+                    F.when(wrote[c], F.col(f"d.{c}")).when(
+                        ~F.col("d._had_del") & old_visible, F.col(f"o.{c}")
+                    ),
+                )
+            )
+            .alias(c)
+            for c in payload
+        ] + [
+            F.when(~delta_wins, F.col("o._seq")).otherwise(F.col("d._seq")).alias("_seq"),
+            F.when(~delta_wins, F.col("o._tombstone"))
+            .otherwise(~visible_after)
+            .alias("_tombstone"),
+        ]
+    resolved = o.join(d, ["bucket", key], "full_outer").select(
+        "bucket",
+        key,
+        *resolved_cols,
     )
     # column order: key, data..., meta..., bucket (match align output)
     ordered = [key, *data_cols, "bucket"]

@@ -3295,3 +3295,117 @@ def partial_update_collapse(spark, sf):
         F.col("value").alias("last_value"),
         F.col("props").alias("last_props"),
     )
+
+
+PARTIAL_REPLAY_SQL = f"""WITH mapped AS (
+  SELECT event_id AS lsn, user_id AS key, {OP_SQL_CASE} AS op FROM events
+), ev AS (
+  SELECT key, lsn, op,
+    (op = 'INSERT' OR (op = 'UPDATE' AND lsn % 3 IN (0, 2))) AS wt,
+    (op = 'INSERT' OR (op = 'UPDATE' AND lsn % 3 IN (1, 2))) AS ws
+  FROM mapped WHERE op IN ('INSERT','UPDATE','DELETE')
+), agg AS (
+  SELECT key,
+    COALESCE(MAX(CASE WHEN op = 'DELETE' THEN lsn END), -1) AS del_ord,
+    MAX(CASE WHEN wt THEN lsn END) AS owt,
+    MAX(CASE WHEN ws THEN lsn END) AS ows
+  FROM ev GROUP BY key
+), win AS (
+  SELECT key,
+    CASE WHEN owt > del_ord THEN owt END AS owt,
+    CASE WHEN ows > del_ord THEN ows END AS ows
+  FROM agg
+)
+SELECT CAST(w.key AS VARCHAR) AS doc_id,
+       CAST(w.owt % 1000000 AS INT) AS last_tok,
+       CAST(CASE WHEN w.owt IS NOT NULL THEN 1 END AS INT) AS n_tok,
+       CASE WHEN w.ows IS NOT NULL
+            THEN 'src' || CAST(w.key % 10 AS VARCHAR) END AS source
+FROM win w WHERE w.owt IS NOT NULL OR w.ows IS NOT NULL"""
+
+
+@q("partial_update_replay", PARTIAL_REPLAY_SQL)
+def partial_update_replay(spark, sf):
+    """ENGINE-level sparse-row-image replay (canal Column#updated
+    parity, the apply half of `partial_update_collapse`): map the
+    events table to a changelog whose UPDATEs carry only the columns
+    picked by lsn%3 (0 -> tokens+n_tok, 1 -> source, 2 -> all;
+    unwritten columns NULL), replay it through the REAL
+    CdcEngine(partial_updates=True) in multiple epochs, and read the
+    final table. Column c of each stored row must equal the latest
+    event that wrote c after the key's latest DELETE — carried ACROSS
+    epoch boundaries by the per-column CoW coalesce, which the oracle
+    replays in ANSI SQL."""
+    import shutil
+    import tempfile
+
+    from canal_spark.engine import CdcEngine
+    from canal_spark.plans.table import SnapshotTable
+
+    wt = (F.col("op") == "INSERT") | (
+        (F.col("op") == "UPDATE") & (F.col("lsn") % 3).isin(0, 2)
+    )
+    ws = (F.col("op") == "INSERT") | (
+        (F.col("op") == "UPDATE") & (F.col("lsn") % 3).isin(1, 2)
+    )
+    ch = (
+        load(spark, sf, "events")
+        .select(
+            F.expr(OP_SQL_CASE).alias("op"),
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.col("event_id").alias("lsn"),
+            (F.col("user_id") % 8).cast("int").alias("source_partition"),
+            F.col("event_id").alias("tx_id"),
+            F.lit(True).alias("tx_commit"),
+            F.col("ts"),
+        )
+        .withColumn(
+            "tokens",
+            F.when(wt, F.array((F.col("lsn") % 1000000).cast("int"))),
+        )
+        .withColumn("n_tok", F.when(wt, F.lit(1)).cast("int"))
+        .withColumn(
+            "source",
+            F.when(
+                ws | (F.col("op") == "DELETE"),
+                F.concat(F.lit("src"), (F.col("doc_id").cast("long") % 10).cast("string")),
+            ),
+        )
+        .withColumn("schema_ver", F.lit(1).cast("int"))
+        .withColumn(
+            "updated_cols",
+            F.when(F.col("op") == "INSERT", F.array(F.lit("tokens"), F.lit("n_tok"), F.lit("source")))
+            .when(
+                F.col("op") == "UPDATE",
+                F.when(F.col("lsn") % 3 == 0, F.array(F.lit("tokens"), F.lit("n_tok")))
+                .when(F.col("lsn") % 3 == 1, F.array(F.lit("source")))
+                .otherwise(F.array(F.lit("tokens"), F.lit("n_tok"), F.lit("source"))),
+            )
+            .otherwise(F.array().cast("array<string>")),
+        )
+        .filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+    )
+    tmp = tempfile.mkdtemp(prefix="canal_partial_")
+    try:
+        ch.write.mode("overwrite").parquet(f"{tmp}/log")
+        max_lsn = ch.agg(F.max("lsn")).collect()[0][0]
+        table = SnapshotTable.create(f"{tmp}/table", n_buckets=8)
+        CdcEngine(
+            spark,
+            f"{tmp}/log",
+            table,
+            lsn_budget=max(1, int(max_lsn) // 3 + 1),
+            partial_updates=True,
+        ).run_to_completion()
+        out = table.read(spark, with_bucket=False).select(
+            "doc_id",
+            F.element_at("tokens", 1).alias("last_tok"),
+            "n_tok",
+            "source",
+        )
+        rows = out.collect()  # materialize before the fixture is removed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id string, last_tok int, n_tok int, source string"
+    )

@@ -71,6 +71,12 @@ class ChangelogSpec:
     heartbeat_every_tx: int = 25
     truncate_trailing_tx: bool = True
     max_tok: int = 16
+    #: sparse row images (canal Column#updated analog): UPDATE events
+    #: carry only a subset of the payload columns, named in an extra
+    #: `updated_cols:array<string>` column (deterministic by lsn%3:
+    #: 0 -> tokens+n_tok, 1 -> source, 2 -> all); unwritten columns are
+    #: NULL in the event. INSERTs always carry the full row image.
+    partial_updates: bool = False
 
 
 def _partition_table(p: int, n: int, spec: ChangelogSpec) -> pa.Table:
@@ -124,9 +130,24 @@ def _partition_table(p: int, n: int, spec: ChangelogSpec) -> pa.Table:
     if spec.truncate_trailing_tx and n > 0:
         last_data = np.where(~hb_mask)[0][-1]
         commit_all[tx_all == tx_all[last_data]] = False
+        # nothing may follow a mid-tx stream cut: a trailing heartbeat
+        # (own committed single-event tx, placed after the 25th tx)
+        # would advance the watermark PAST the incomplete tx and leak
+        # its events through the barrier — impossible in a real binlog,
+        # where the cut ends the stream
+        commit_all[last_data + 1 :] = False
 
     # --- payload: deterministic token arrays ---------------------------
     payload_mask = ~(hb_mask | del_mask)
+    # sparse row images: UPDATE writes only the columns picked by lsn%3
+    # (0 -> tokens+n_tok, 1 -> source, 2 -> all); unwritten columns are
+    # NULL in the event and named out of `updated_cols`
+    upd_mask = (op_all == "UPDATE") & payload_mask
+    upd_case = lsn % 3
+    if spec.partial_updates:
+        tok_written = payload_mask & ~(upd_mask & (upd_case == 1))
+        src_written = payload_mask & ~(upd_mask & (upd_case == 0))
+        payload_mask = tok_written
     tok_len = np.where(payload_mask, 1 + ((key_all * 31 + lsn) % spec.max_tok), 0).astype(np.int64)
     offsets = np.zeros(total + 1, dtype=np.int64)
     np.cumsum(tok_len, out=offsets[1:])
@@ -150,6 +171,39 @@ def _partition_table(p: int, n: int, spec: ChangelogSpec) -> pa.Table:
         pa.array(np.full(total, "src")), pa.array((key_all % 10).astype(str)), ""
     )
 
+    extra: dict = {}
+    schema = SCHEMA
+    if spec.partial_updates:
+        # an UPDATE that does not write `source` carries NULL there;
+        # DELETE/heartbeat rows KEEP source (the route filters key on it)
+        keep_src = src_written | del_mask | hb_mask
+        source = pa.compute.if_else(
+            pa.array(keep_src), source, pa.nulls(total, pa.string())
+        )
+        # updated_cols: the canal Column#updated analog. 4 fixed shapes
+        # chosen per row: INSERT / UPDATE-case-2 -> all, UPDATE-case-0
+        # -> tokens+n_tok, UPDATE-case-1 -> source, DELETE/heartbeat ->
+        # empty
+        code = np.where(
+            op_all == "INSERT",
+            3,
+            np.where(
+                upd_mask,
+                np.where(upd_case == 0, 1, np.where(upd_case == 1, 2, 3)),
+                0,
+            ),
+        )
+        shapes = [[], ["tokens", "n_tok"], ["source"], ["tokens", "n_tok", "source"]]
+        lens = np.array([0, 2, 1, 3], dtype=np.int64)[code]
+        offsets = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat = [c for k in code for c in shapes[k]]
+        extra["updated_cols"] = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(flat, type=pa.string()),
+        )
+        schema = SCHEMA.append(pa.field("updated_cols", pa.list_(pa.string())))
+
     return pa.table(
         {
             "op": pa.array(op_all),
@@ -163,8 +217,9 @@ def _partition_table(p: int, n: int, spec: ChangelogSpec) -> pa.Table:
             "n_tok": n_tok,
             "source": source,
             "schema_ver": pa.array(np.full(total, 1, dtype=np.int32)),
+            **extra,
         },
-        schema=SCHEMA,
+        schema=schema,
     )
 
 

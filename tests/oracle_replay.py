@@ -36,12 +36,37 @@ def replay(changelog_dir: str, source_pattern: str | None = None) -> pd.DataFram
     # global deterministic order; last writer wins
     df = df.sort_values(["lsn", "source_partition"], kind="stable")
 
+    # sparse row images (generator partial_updates=True): apply only
+    # the columns each event names in `updated_cols`; INSERT resets all
+    partial = "updated_cols" in df.columns
     state: dict[str, tuple] = {}
     for row in df.itertuples(index=False):
         if row.op == "DELETE":
             state.pop(row.doc_id, None)
-        else:
+        elif not partial:
             state[row.doc_id] = (list(row.tokens), int(row.n_tok), row.source)
+        else:
+            upd = set(row.updated_cols)
+            if row.op == "INSERT":
+                prev = (None, None, None)
+            else:
+                prev = state.get(row.doc_id, (None, None, None))
+            toks = (
+                (None if row.tokens is None else list(row.tokens))
+                if "tokens" in upd
+                else prev[0]
+            )
+            ntk = (
+                (None if pd.isna(row.n_tok) else int(row.n_tok))
+                if "n_tok" in upd
+                else prev[1]
+            )
+            src = (
+                (row.source if isinstance(row.source, str) else None)
+                if "source" in upd
+                else prev[2]
+            )
+            state[row.doc_id] = (toks, ntk, src)
 
     out = pd.DataFrame(
         [(k, v[0], v[1], v[2]) for k, v in state.items()],
