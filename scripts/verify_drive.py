@@ -1,5 +1,5 @@
 """End-to-end drive for spark-submit verification (see
-.claude/skills/verify): gen | replay-some | resume | rerun | parity |
+.claude/skills/verify): gen | replay-some | resume | rerun | parity | partial |
 rollback | multi | stream | stream-multi (CoW phases also take a -mor
 suffix). Each phase runs in its own JVM so resume is a real cold
 start."""
@@ -88,6 +88,63 @@ def main(phase: str) -> None:
         print(
             f"VERIFY parity: {len(got)} rows byte-exact vs pandas oracle; "
             f"captured CDF == snapshot diff over (0, {final}]"
+        )
+    elif phase == "partial":
+        # sparse-row-image drive (self-contained: own log + table):
+        # generate a partial_updates changelog, replay it in several
+        # epochs with a mid-way fresh-handle resume, oracle parity on
+        # every column including the NULLs sparse writes leave behind
+        import math
+
+        sys.path.insert(0, "/root/repo")
+        from canal_spark.sources.changelog import ChangelogSpec, generate_changelog
+        from tests.oracle_replay import replay
+
+        plog = f"{WORK}/plog"
+        if not os.path.isdir(plog):
+            generate_changelog(
+                plog,
+                ChangelogSpec(
+                    n_events=20_000, n_partitions=4, n_keys=800, partial_updates=True
+                ),
+            )
+        pt_path = f"{WORK}/ptable"
+        table = SnapshotTable.create(pt_path, n_buckets=8)
+        eng = CdcEngine(spark, plog, table, lsn_budget=3000, partial_updates=True)
+        eng.run_epoch()
+        eng.run_epoch()
+        resumed = SnapshotTable(pt_path)  # fresh handle mid-way
+        CdcEngine(
+            spark, plog, resumed, lsn_budget=3000, partial_updates=True
+        ).run_to_completion()
+
+        def norm(v):
+            return None if v is None or (isinstance(v, float) and math.isnan(v)) else int(v)
+
+        got = {
+            r.doc_id: (
+                None if r.tokens is None else list(r.tokens),
+                norm(r.n_tok),
+                r.source if isinstance(r.source, str) else None,
+            )
+            for r in resumed.read(spark)
+            .select("doc_id", "tokens", "n_tok", "source")
+            .toPandas()
+            .itertuples(index=False)
+        }
+        exp = {
+            r.doc_id: (
+                r.tokens,
+                norm(r.n_tok),
+                r.source if isinstance(r.source, str) else None,
+            )
+            for r in replay(plog).itertuples(index=False)
+        }
+        assert got == exp
+        sparse = sum(1 for v in got.values() if (v[0] is None) != (v[2] is None))
+        print(
+            f"VERIFY partial: {len(got)} rows per-column-exact vs pandas oracle "
+            f"after resume ({sparse} rows carry a sparse NULL)"
         )
     elif phase == "rollback":
         # poisoned-batch recovery drive (run after parity): rewind the
