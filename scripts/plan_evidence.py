@@ -90,6 +90,10 @@ CHECKS = [
     # repetition gate + corpus mixing are scan-side: zero exchanges
     ("intra_doc_repetition", [], ["Exchange"]),
     ("mix_corpora", [], ["Exchange"]),
+    # column-level partial LWW: fixed-width hash agg + broadcast winner
+    # join + ObjectHashAggregate assembly — the wide payload must never
+    # fall into a sort-based aggregate
+    ("partial_update_collapse", ["BroadcastHashJoin", "ObjectHashAggregate"], ["SortAggregate"]),
 ]
 
 
