@@ -42,72 +42,64 @@ def entry(spark: SparkSession) -> DataFrame:
     ).select("key", "last_lsn", "last_value", "c_name", "c_mktsegment")
 
 
-#: round-5 rotation (pure reordering, VERDICT r4 task 4): lead with the
-#: 31 names the r4 driver sample skipped (the join/window/agg/recall
-#: block), then the r5 additions/conversions (multi_table_replay is
-#: new; the dedup pair sets and ann_lsh_topk gained invariant
-#: oracles), then the rest.
+#: round-6 rotation (pure reordering, VERDICT r5 task 5): lead with the
+#: EXACT 50 names the r5 driver sample skipped (the complement of
+#: CORRECTNESS_r05.json's keys, duplicates removed) — completing
+#: driver-green coverage of all 100 names within the two-round
+#: rotation, including `rdb_sink_parity` (never driver-sampled) and
+#: the four r5 local-only oracle conversions.
 _SAMPLE_FIRST = [
-    # unsampled in CORRECTNESS_r04
-    "join_enrich_left",
-    "join_enrich_broadcast",
-    "window_lag_before_image",
-    "txn_group_complete",
-    "epoch_size_accounting",
-    "metrics_per_partition",
-    "pk_hash_partition",
-    "topk_hot_keys",
-    "hot_key_histogram",
-    "distinct_keys_exact",
-    "dedup_minhash_recall",
-    "dedup_simhash_recall",
-    "dedup_ngram_recall",
-    "ann_ivf_recall",
-    "mor_replay_modes_agree",
-    "incremental_changes_consistent",
-    "pii_scrub",
-    "vocab_top_terms",
-    "contamination_overlap",
-    "train_val_split",
-    "leakage_free_split",
-    "flatmessage_roundtrip",
-    "asof_join_nullable_values",
-    "asof_join_last_click",
-    "range_join_ship_window",
-    "rollup_event_counts",
-    "running_frame_totals",
-    "ann_ivf_topk",
-    "state_diff_intersect",
-    "session_window_counts",
-    "windowed_event_counts",
-    # new or contract-changed in r5
-    "delete_where_takedown",
-    "partial_update_collapse",
-    "partial_update_replay",
-    "incremental_mv_refresh",
-    "rollback_replay_parity",
-    "tag_retention_parity",
-    "flatmessage_outbox_roundtrip",
-    "cdf_capture_parity",
-    "time_travel_timestamp",
-    "table_replication_parity",
-    "branch_wap_parity",
-    "dedup_segments",
-    "incremental_changes_consistent",
-    "stream_replay_parity",
-    "token_budget_cap",
-    "dedup_incremental",
-    "dedup_incremental_resume",
-    "dedup_incremental_compacted",
-    "multi_table_replay",
-    "dedup_minhash_lsh",
+    # unsampled in CORRECTNESS_r05 (50 names)
+    "scan_changelog",
+    "scan_lsn_range",
+    "json_extract_props",
+    "resume_after_checkpoint",
+    "late_event_dropped",
+    "initial_snapshot_rowcount",
+    "filter_op_types",
+    "filter_heartbeats",
+    "filter_regex_whitelist",
+    "filter_regex_blacklist",
+    "project_field_filter",
+    "lww_dedup_last_event",
+    "merge_upsert_final_state",
+    "antijoin_deletes",
+    "semijoin_active_keys",
+    "approx_distinct_keys",
+    "union_multi_source",
+    "state_diff_except",
+    "cast_types_roundtrip",
+    "ddl_classify",
+    "tokens_invariant_ntok",
+    "pandas_udf_token_transform",
+    "client_cursor_state",
+    "xa_rollback_replay",
+    "exactly_once_reapply_noop",
+    "dedup_exact",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
+    "ann_cosine_topk",
     "ann_lsh_topk",
-    "ann_ivf_topk",
-    "multimodal_decode_stub",
-    "refine_corpus",
+    "embedding_neardup_cosine",
+    "pack_sequences",
     "rdb_sink_parity",
+    "refine_corpus",
+    "winnowing_fingerprints",
+    "lang_id_heuristic",
+    "quality_score",
+    "token_count",
+    "point_lookup_file_skipping",
+    "decontaminate_corpus",
+    "intra_doc_repetition",
+    "mix_corpora",
+    "shuffle_shards",
+    "sample_stratified",
+    "doc_fingerprint",
+    "multimodal_frame_sample",
+    "multimodal_decode_stub",
+    "stateful_stream_gate",
+    "schema_evolution_replay",
 ]
 
 

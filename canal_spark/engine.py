@@ -233,8 +233,14 @@ class CdcEngine:
         while True:
             sl = self._slice(bounds)
             wms = committed_watermarks(sl, floors)
-            progressed = any(wms[p] > floors[p] for p in bounds)
             at_extent = all(t >= extents[p] for p, (_, t) in bounds.items())
+            if self.partial_updates:
+                # sparse-row-image mode assumes every event applied in
+                # epoch e outranks everything stored by earlier epochs;
+                # per-partition watermarks skew across epochs and break
+                # that (ADVICE r5) — clamp to a clean GLOBAL lsn cut
+                wms = self._partial_barrier_wms(sl, wms, floors, bounds, at_extent)
+            progressed = any(wms[p] > floors[p] for p in bounds)
             if progressed or at_extent:
                 break
             # a tx larger than the budget: grow the slice (deterministic)
@@ -321,6 +327,115 @@ class CdcEngine:
             lineage_thread=th,
             lineage_box=box,
         )
+
+    def _partial_barrier_wms(
+        self,
+        sl,
+        wms: dict[int, int],
+        floors: dict[int, int],
+        bounds: dict[int, tuple[int, int]],
+        at_extent: bool,
+    ) -> dict[int, int]:
+        """Clamp an epoch's watermarks to a clean GLOBAL lsn cut
+        (partial_updates correctness, ADVICE r5).
+
+        The per-column CoW coalesce resolves a batch against the
+        stored row with a single per-key `_seq` guard, which is only
+        correct if every event applied in a later epoch outranks every
+        event applied earlier. Unclamped per-partition watermarks do
+        not guarantee that: each partition's watermark stops at its own
+        last committed tx, and a budget-exceeding tx stalls one
+        partition while others advance — a later epoch can then apply
+        a same-key event with a SMALLER packed order and drop or
+        misapply column writes.
+
+        A cut L is CLEAN when no transaction of any partition SPANS it
+        (an event with lsn <= L whose tx commits past L). Replaying
+        (floor, L] per epoch then preserves the global invariant:
+        every event applied later has lsn > L. Within one epoch,
+        interleaved partitions are handled by the per-column winner
+        aggregation, which is order-independent.
+
+        One narrow aggregation computes each in-slice transaction's
+        span (min event lsn, commit lsn — or open for an incomplete
+        tail); the spans are swept driver-side for the LARGEST L at or
+        below every partition's slice end that no span covers, strictly
+        above every floor (the induction anchor: unapplied events all
+        sit above every floor once this barrier disciplines the
+        epochs). The collect is O(transactions in the slice) — bounded
+        by the lsn budget, metadata next to the event scan — and runs
+        in partial mode only.
+
+        No clean cut: with `at_extent` the UNCLAMPED watermarks are
+        returned — the whole remainder applies as ONE final epoch
+        (nothing follows, so the cross-epoch invariant is vacuous);
+        otherwise the floors are returned unchanged and the caller's
+        budget-doubling loop grows the slice (a span-dense interleaving
+        can degrade epoch granularity up to that single final epoch —
+        the honest cost of a global barrier; the alternative is
+        per-column `_seq` columns in table storage, a layout change).
+
+        Tables whose checkpoints predate this barrier (skewed floors
+        from an earlier engine version) replay forward correctly from
+        here on, but historical skew cannot be repaired retroactively.
+        """
+        if not wms:
+            return wms
+        floor_hi = max(floors.values(), default=-1)
+        # L may not exceed any partition's slice end: events past a
+        # partition's slice are UNSEEN and would apply later with
+        # lsn <= L otherwise
+        hi = min(t for (_f, t) in bounds.values())
+        if hi <= floor_hi:
+            return wms if at_extent else dict(floors)
+        rows = (
+            sl.groupBy("source_partition", "tx_id")
+            .agg(
+                F.min("lsn").alias("lo"),
+                F.max(F.when(F.col("tx_commit"), F.col("lsn"))).alias("c"),
+            )
+            .collect()
+        )
+        commits: dict[int, list[int]] = {p: [] for p in wms}
+        spans: list[tuple[int, float]] = []
+        for r in rows:
+            p, lo = int(r["source_partition"]), int(r["lo"])
+            c = None if r["c"] is None else int(r["c"])
+            if c is not None:
+                commits.setdefault(p, []).append(c)
+            b = float("inf") if c is None else c - 1
+            if b >= lo:
+                spans.append((lo, b))
+        # merge spans, then sweep downward from `hi` to the largest
+        # uncovered point
+        spans.sort()
+        merged: list[list] = []
+        for a, b in spans:
+            if merged and a <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+        L = hi
+        for a, b in reversed(merged):
+            if L > b:
+                break
+            if L >= a:
+                L = a - 1
+        if L > floor_hi:
+            clean = {
+                p: max(
+                    floors.get(p, -1),
+                    max((c for c in commits.get(p, []) if c <= L), default=-1),
+                )
+                for p in wms
+            }
+            if any(clean[p] > floors.get(p, -1) for p in clean):
+                return clean
+        if at_extent:
+            # terminal slice: apply the whole committed remainder as
+            # one epoch — no later epoch exists to violate the order
+            return wms
+        return dict(floors)
 
     @staticmethod
     def _discard(prep: "_Prepared | None") -> None:

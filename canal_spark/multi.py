@@ -154,6 +154,7 @@ class MultiTableEngine:
         broadcast_threshold_rows: int = 4_000_000,
         write_mode: str = "cow",
         ddl_events_path: str | None = None,
+        route_parallelism: int = 4,
     ):
         names = [r.name for r in routes]
         if len(set(names)) != len(names):
@@ -169,6 +170,10 @@ class MultiTableEngine:
         self.lsn_budget = lsn_budget
         self.broadcast_threshold_rows = broadcast_threshold_rows
         self.write_mode = write_mode
+        #: member applies per group epoch run on a thread pool this
+        #: wide (2-4 in flight fills the driver-serial windows without
+        #: routes fighting for executors — guide §2.6; 1 = serial)
+        self.route_parallelism = max(1, int(route_parallelism))
         #: A3 DDL side-stream replicated to EVERY route table (canal's
         #: instance parses one DDL stream and every subscribed adapter
         #: applies it [C: parse/.../ddl/DruidDdlParser.java +
@@ -298,18 +303,35 @@ class MultiTableEngine:
         complete = tx_barrier(sl, wms)
         apply_df = filters.op_filter(complete)
 
-        table_epochs: dict[str, int] = {}
-        n_events: dict[str, int] = {}
-        for route in self.routes:
+        def _one(route: TableRoute) -> tuple[str, int, int]:
             snap = route.table.snapshot()
             if snap.get("meta", {}).get("group_epoch", -1) >= g:
                 # already applied by the crashed run — roll-forward skip
-                table_epochs[route.name] = snap["epoch"]
-                n_events[route.name] = 0
-                continue
+                return route.name, snap["epoch"], 0
             t_epoch, n = self._apply_route(route, route.filtered(apply_df), g, wms)
-            table_epochs[route.name] = t_epoch
-            n_events[route.name] = n
+            return route.name, t_epoch, n
+
+        # member applies run CONCURRENTLY (r6, guide §2.6): each route
+        # writes its own disjoint table dir and commits its own
+        # snapshot, so the only serialization the old loop bought was
+        # accidental — one route's driver-serial windows (winner-agg
+        # collect, broadcast build, commit) left the executors idle
+        # while the next route waited. A small pool overlaps them; the
+        # group marker still publishes strictly AFTER every member
+        # commit, and a crash mid-pool leaves some members at g — the
+        # same states the serial loop's crash points left (roll-forward
+        # handles any committed subset via recorded_group_wms).
+        if len(self.routes) == 1:
+            results = [_one(self.routes[0])]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(len(self.routes), self.route_parallelism)
+            ) as pool:
+                results = list(pool.map(_one, self.routes))
+        table_epochs = {name: te for name, te, _ in results}
+        n_events = {name: n for name, _, n in results}
 
         new_ckpts = {**ckpts, **{int(p): int(v) for p, v in wms.items()}}
         self._publish_marker(g, new_ckpts, table_epochs)
@@ -422,6 +444,8 @@ def apply_route(
     yields the exact key cardinality (broadcast decision) AND the
     affected buckets, and the cached frame is reused by the LWW winner
     join and the merge's anti/semi joins (ReuseExchange)."""
+    import threading
+
     snap = route.table.snapshot()
     key = snap["key_col"]
     winners = (
@@ -429,6 +453,28 @@ def apply_route(
         .agg(F.max(_packed_order(("lsn", "source_partition"))).alias("_ord"))
         .persist()
     )
+    lineage_box: dict = {}
+    lineage_q = routed.groupBy("source_partition").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("op") != "DELETE").cast("long")).alias("n_upserts"),
+        F.sum((F.col("op") == "DELETE").cast("long")).alias("n_deletes"),
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+    )
+
+    def _collect_lineage() -> None:
+        try:
+            lineage_box["rows"] = lineage_q.collect()
+        except Exception as ex:  # noqa: BLE001 - re-raised on join
+            lineage_box["err"] = ex
+
+    # per-route, per-partition lineage (A4) on a BACKGROUND thread
+    # (r6): its narrow scan fills executor idle time during this
+    # route's driver-serial windows (winner collect, broadcast build,
+    # commit) instead of extending the critical path — the same
+    # overlap CdcEngine._prepare uses
+    lt = threading.Thread(target=_collect_lineage, daemon=True)
+    lt.start()
     try:
         bucket_counts = (
             winners.groupBy(
@@ -440,39 +486,13 @@ def apply_route(
         n_keys = sum(int(r["count"]) for r in bucket_counts)
         affected = sorted(int(r["bucket"]) for r in bucket_counts)
         small = n_keys <= broadcast_threshold_rows
-        # per-route, per-partition lineage (A4) — narrow scan of the
-        # routed slice, metadata-sized result
-        lineage = [
-            {
-                "epoch": None,  # patched below with the table epoch
-                "source_partition": int(r["source_partition"]),
-                "n_events": int(r["n_events"]),
-                "n_upserts": int(r["n_upserts"] or 0),
-                "n_deletes": int(r["n_deletes"] or 0),
-                "sum_n_tok": 0,
-                "min_lsn": int(r["min_lsn"]),
-                "max_lsn": int(r["max_lsn"]),
-                "max_ts": 0,
-                "wall_ms": 0,
-            }
-            for r in (
-                routed.groupBy("source_partition")
-                .agg(
-                    F.count("*").alias("n_events"),
-                    F.sum((F.col("op") != "DELETE").cast("long")).alias("n_upserts"),
-                    F.sum((F.col("op") == "DELETE").cast("long")).alias("n_deletes"),
-                    F.min("lsn").alias("min_lsn"),
-                    F.max("lsn").alias("max_lsn"),
-                )
-                .collect()
-            )
-        ]
-        total_events = sum(li["n_events"] for li in lineage)
         meta = {
             "group_epoch": g,
             "group_wms": {str(p): int(v) for p, v in wms.items()},
             **(meta_extra or {}),
         }
+        lineage: list[dict] | None = None
+        total_events = 0
         for _attempt in range(5):
             t_epoch = (route.table.current_epoch() or 0) + 1
             if affected:
@@ -502,6 +522,26 @@ def apply_route(
                 # no events for this table this epoch: metadata-only
                 # commit still advances its cursor + group membership
                 rewritten = {}
+            if lineage is None:
+                lt.join()
+                if "err" in lineage_box:
+                    raise lineage_box["err"]
+                lineage = [
+                    {
+                        "epoch": None,  # patched below with the table epoch
+                        "source_partition": int(r["source_partition"]),
+                        "n_events": int(r["n_events"]),
+                        "n_upserts": int(r["n_upserts"] or 0),
+                        "n_deletes": int(r["n_deletes"] or 0),
+                        "sum_n_tok": 0,
+                        "min_lsn": int(r["min_lsn"]),
+                        "max_lsn": int(r["max_lsn"]),
+                        "max_ts": 0,
+                        "wall_ms": 0,
+                    }
+                    for r in lineage_box["rows"]
+                ]
+                total_events = sum(li["n_events"] for li in lineage)
             for li in lineage:
                 li["epoch"] = t_epoch
             if route.table.commit(
@@ -522,3 +562,4 @@ def apply_route(
         )
     finally:
         winners.unpersist()
+        lt.join()

@@ -224,7 +224,11 @@ def lww_collapse_partial(
         ],
     ).filter(
         # row visible iff ANY column survives the latest delete
+        # (greatest() needs >= 2 args — same single-column guard as
+        # lww_collapse_partial_delta)
         F.greatest(*[F.col(f"_w_{c}").isNotNull() for c in payload_cols])
+        if len(payload_cols) > 1
+        else F.col(f"_w_{payload_cols[0]}").isNotNull()
     )
     if broadcast_winners:
         winners = F.broadcast(winners)
@@ -232,6 +236,8 @@ def lww_collapse_partial(
         # keep only rows that ARE some column's winner (each key yields
         # <= len(payload_cols) rows here)
         F.greatest(*[(F.col("_ord") == F.col(f"_w_{c}")) for c in payload_cols])
+        if len(payload_cols) > 1
+        else (F.col("_ord") == F.col(f"_w_{payload_cols[0]}"))
     )
     # Final per-key assembly. `max(when(ord==w_c, c))` would be the
     # obvious reduction, but max/first over ARRAY payloads is a

@@ -34,6 +34,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # joins (guide §3.1/§9): let the planner pick shuffled-hash
+        # over sort-merge when the per-partition build side fits, and
+        # let AQE rewrite SMJ -> SHJ from runtime stats. Both are
+        # size-gated (no OOM regime change) and env-overridable for
+        # clusters that want the sort-merge default back.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("CANAL_SPARK_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("CANAL_SPARK_SHJ_LOCAL_MAP", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

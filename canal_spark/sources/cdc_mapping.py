@@ -28,7 +28,31 @@ N_SOURCE_PARTITIONS = 8
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver table, spreading an under-split scan.
+
+    The testdata tables arrive as ONE small parquet file (one row
+    group), so the scan plans as ONE task and every scan-side
+    computation built on it — minhash folds, simhash bit aggregates,
+    per-character winnowing md5s, to_json/from_json round-trips —
+    serializes on a single core while the other 31 idle (guide §2.5
+    "input skew", §6 input split size: a single-row-group file is
+    unsplittable no matter the split config). One cheap round-robin
+    repartition right after the read restores scan parallelism.
+
+    Scale-adaptive, not local-tuned: the trigger is `scan splits <
+    session default parallelism`, which a production-sized table
+    (thousands of files/row groups) never hits — there the repartition
+    is a no-op branch; when it does hit (a few huge unsplittable gzip
+    files, one hot ingest file), repartitioning immediately after the
+    read is exactly the guide's remedy. Round-robin repartition is
+    deterministic under retries (sortBeforeRepartition, SPARK-23207),
+    so results are stable; every declared query orders/aggregates with
+    explicit keys, so row order never reaches an oracle."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def events_as_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:

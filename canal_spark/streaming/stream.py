@@ -231,11 +231,32 @@ class StreamingUpsert:
         apply_df = filters.op_filter(complete)
         held = _held_past_wms(inp, wms)
 
-        lineage_rows = (
-            apply_df.groupBy("source_partition")
-            .agg(F.count("*").alias("n_events"), F.max("lsn").alias("max_lsn"))
-            .collect()
+        # lineage on a background thread (r6): its narrow scan runs
+        # concurrent with the pending-store write + merge jobs instead
+        # of serially before them — the same overlap CdcEngine._prepare
+        # uses; joined before the commit needs the rows
+        import threading
+
+        lineage_q = apply_df.groupBy("source_partition").agg(
+            F.count("*").alias("n_events"), F.max("lsn").alias("max_lsn")
         )
+        box: dict = {}
+
+        def _collect_lineage() -> None:
+            try:
+                box["rows"] = lineage_q.collect()
+            except Exception as ex:  # noqa: BLE001 - re-raised on join
+                box["err"] = ex
+
+        lt = threading.Thread(target=_collect_lineage, daemon=True)
+        lt.start()
+
+        def lineage_rows():
+            lt.join()
+            if "err" in box:
+                raise box["err"]
+            return box["rows"]
+
         delta = lww_collapse(apply_df, key="doc_id", payload_cols=PAYLOAD_COLS, with_seq=True)
         meta = (
             {"stream_batch_id": batch_id}
@@ -252,6 +273,9 @@ class StreamingUpsert:
         raise RuntimeError("streaming epoch: lost the commit race 5 times")
 
     def _try_commit_dml(self, held, delta, lineage_rows, wms, meta) -> bool:
+        """`lineage_rows` is a thunk: the collect runs on a background
+        thread and is joined only when the commit document needs the
+        rows — after the write jobs have been submitted."""
         epoch = self.table.snapshot()["epoch"] + 1
         # NOT inside the epoch data dir — merge_epoch overwrites that dir.
         # Partitioned by source stream (not coalesce(1)): a burst of
@@ -296,7 +320,7 @@ class StreamingUpsert:
                 "max_ts": None,
                 "wall_ms": None,
             }
-            for r in lineage_rows
+            for r in lineage_rows()
         ]
         return self.table.commit(
             epoch,

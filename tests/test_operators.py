@@ -187,6 +187,31 @@ def test_partial_update_collapse_semantics(spark):
     }
 
 
+def test_partial_update_collapse_single_payload_column(spark):
+    """One payload column is a documented-valid input: both greatest()
+    call sites need the single-column guard (ADVICE r5 — the unguarded
+    form raised an opaque PySpark AssertionError)."""
+    from canal_spark.operators.lww import lww_collapse_partial
+
+    rows = [
+        ("INSERT", "a", 1, ["x"], "v1"),
+        ("UPDATE", "a", 2, ["x"], "v2"),
+        ("INSERT", "b", 1, ["x"], "bv"),
+        ("DELETE", "b", 2, [], None),
+        ("DELETE", "d", 1, [], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, k string, lsn long, updated_cols array<string>, x string"
+    )
+    out = {
+        r["k"]: r["x"]
+        for r in lww_collapse_partial(
+            df, key="k", order_cols=("lsn",), payload_cols=("x",)
+        ).collect()
+    }
+    assert out == {"a": "v2"}
+
+
 def test_partial_update_plan_is_sortfree_and_broadcast(spark, changelog_dir):
     """Same plan contract as lww_collapse: fixed-width hash aggregate
     (no Sort/SortAggregate before the winner join) and a broadcast
@@ -235,6 +260,10 @@ def test_partial_update_plan_is_sortfree_and_broadcast(spark, changelog_dir):
         for c in ("tokens", "n_tok", "source"):
             exp = per_col[c].get(k)
             gv = got[k][c]
-            assert (list(gv) if isinstance(gv, list) and False else gv) == exp or (
-                list(gv or []) == list(exp or []) if c == "tokens" else gv == exp
-            ), (k, c, gv, exp)
+            if c == "tokens":
+                # normalize list-vs-None so [] never equals a missing write
+                assert (gv is None) == (exp is None), (k, c, gv, exp)
+                if gv is not None:
+                    assert list(gv) == list(exp), (k, c, gv, exp)
+            else:
+                assert gv == exp, (k, c, gv, exp)

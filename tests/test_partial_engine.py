@@ -41,6 +41,70 @@ def partial_log(tmp_path_factory):
     return d
 
 
+def test_partial_engine_watermark_skew_parity(spark, tmp_path):
+    """ADVICE r5 (high) reproduction: a 2-partition log where p1's only
+    write to a key sits inside a transaction committing past the lsn
+    budget. Unbarriered per-partition watermarks let p0 race ahead in
+    epoch 1, then epoch 2 applies p1's SMALLER-ord column write and the
+    single per-key `_seq` guard drops it (engine said srcA, oracle
+    srcB). The partial-mode global clean-cut barrier must make the
+    engine match the sequential oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.sources.changelog import BASE_TS_US, SCHEMA
+
+    # p0: INSERT k lsn1 (own tx), UPDATE tokens lsn10 (own tx)
+    # p1: UPDATE source lsn5 in a tx committing at lsn20
+    rows = [
+        # (op, doc_id, lsn, sp, tx_id, tx_commit, tokens, n_tok, source, updated)
+        ("INSERT", "k", 1, 0, 100, True, [7], 1, "srcA", ["tokens", "n_tok", "source"]),
+        ("UPDATE", "k", 10, 0, 101, True, [9], 1, None, ["tokens"]),
+        ("UPDATE", "k", 5, 1, 200, False, None, None, "srcB", ["source"]),
+        ("UPDATE", "other", 20, 1, 200, True, [3], 1, None, ["tokens", "n_tok"]),
+    ]
+    schema = SCHEMA.append(pa.field("updated_cols", pa.list_(pa.string())))
+    table = pa.Table.from_pydict(
+        {
+            "op": [r[0] for r in rows],
+            "doc_id": [r[1] for r in rows],
+            "lsn": pa.array([r[2] for r in rows], pa.int64()),
+            "source_partition": pa.array([r[3] for r in rows], pa.int32()),
+            "tx_id": pa.array([r[4] for r in rows], pa.int64()),
+            "tx_commit": [r[5] for r in rows],
+            "ts": pa.array([BASE_TS_US + i for i in range(len(rows))], pa.timestamp("us")),
+            "tokens": pa.array([r[6] for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([r[7] for r in rows], pa.int32()),
+            "source": [r[8] for r in rows],
+            "schema_ver": pa.array([1] * len(rows), pa.int32()),
+            "updated_cols": pa.array([r[9] for r in rows], pa.list_(pa.string())),
+        },
+        schema=schema,
+    )
+    log = str(tmp_path / "skewlog")
+    import os
+
+    os.makedirs(log, exist_ok=True)
+    pq.write_table(table, os.path.join(log, "part-p0000.parquet"))
+
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    eng = CdcEngine(spark, log, t, lsn_budget=12, partial_updates=True)
+    eng.run_to_completion()
+    got = _norm_rows(
+        t.read(spark).select("doc_id", "tokens", "n_tok", "source").toPandas()
+    )
+    exp = {
+        r.doc_id: (
+            r.tokens,
+            _norm_n(r.n_tok),
+            r.source if isinstance(r.source, str) else None,
+        )
+        for r in replay(log).itertuples(index=False)
+    }
+    assert got == exp
+    assert got["k"][2] == "srcB", got  # the skewed column write must land
+
+
 def test_partial_engine_oracle_parity_and_rerun(spark, partial_log, tmp_path):
     """Multi-epoch partial replay == the oracle's per-column sequential
     replay, row-for-row including NULLs a sparse write left behind; a
