@@ -130,6 +130,44 @@ def bench_mv() -> None:
     print(json.dumps({"section": "mv_refresh", "cpus": CPUS, "best": best}))
 
 
+def bench_minhash_ab() -> None:
+    """VERDICT r5 task 1(b): paired same-session A/B of the two
+    minhash signature plans (scan-side fold vs explode+agg) on the
+    sf0.1 planted-dupes corpus — signature stage alone and the full
+    dedup pipeline."""
+    from canal_spark.operators import dedup as DD
+    from canal_spark.queries import _with_planted_dupes, load
+
+    spark = _spark("bench_extra_minhash_ab")
+    docs = _with_planted_dupes(load(spark, SF_DIR, "documents"))
+    sh = DD.word_shingles(docs).select("doc_id", "shingles")
+    out = {}
+    for method in ("scan", "agg"):
+
+        def sig_only(method=method):
+            t0 = time.monotonic()
+            DD.minhash_signatures(sh, num_perm=16, method=method).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            return round(time.monotonic() - t0, 3)
+
+        def full(method=method):
+            t0 = time.monotonic()
+            sig = DD.minhash_signatures(sh, num_perm=16, method=method)
+            DD.jaccard_verify(
+                DD.lsh_candidate_pairs(sig, bands=4), sh, min_jaccard=0.5
+            ).write.mode("overwrite").format("noop").save()
+            return round(time.monotonic() - t0, 3)
+
+        out[method] = {
+            "sig_series": run_until_converged(sig_only, 3, 6),
+            "full_series": run_until_converged(full, 3, 6),
+        }
+        out[method]["sig_min"] = min(out[method]["sig_series"])
+        out[method]["full_min"] = min(out[method]["full_series"])
+    print(json.dumps({"section": "minhash_ab", "cpus": CPUS, "out": out}))
+
+
 def bench_budget_skew() -> None:
     """cap_token_budget over a synthetic corpus where ONE source holds
     90% of the rows (the regime the single-task window dies in): times
@@ -199,6 +237,8 @@ def main() -> None:
         bench_mv()
     elif section == "budget_skew":
         bench_budget_skew()
+    elif section == "minhash_ab":
+        bench_minhash_ab()
     else:
         raise SystemExit(f"unknown section {section!r}")
 

@@ -460,8 +460,9 @@ def cap_token_budget(
     3. per-(source, range) totals are |sources| x P driver-side
        numbers (metadata scale — `source` is the mix-source domain, a
        curation knob, not a data-sized key); their per-source
-       exclusive prefix sums fold back through a broadcast join and
-       the filter keeps rows with base + local running sum <= budget.
+       exclusive prefix sums fold back as a literal map keyed on
+       (source, range id) — pack_sequences' mechanism — and the
+       filter keeps rows with base + local running sum <= budget.
 
     The cumulative sums — and hence the kept row set — are identical
     to the single-window plan for any boundary choice (the per-source
@@ -498,23 +499,49 @@ def cap_token_budget(
         key=lambda x: (str(x[0]), x[1]),
     )
     acc: dict = {}
-    prefix_rows = []
+    prefix_base: dict = {}
     for src, p, t in totals:
-        prefix_rows.append((src, p, acc.get(src, 0)))
+        prefix_base[(src, p)] = acc.get(src, 0)
         acc[src] = acc.get(src, 0) + t
+    # The per-(source, range) bases fold back as a LITERAL MAP, the
+    # same mechanism pack_sequences uses — NOT a join: a broadcast
+    # join keyed on `_pid` lets constraint propagation rewrite the
+    # equality chain `_pfx_pid = _pid = size(filter(bounds, ...))`
+    # into a build-side filter referencing the stream's order column,
+    # which fails attribute binding at execution (reproduced at 200k
+    # rows; an optimizer hazard of HOF-bearing equi-keys). Map size is
+    # |sources| x P literals — `source` is the mix-source domain, a
+    # curation knob, so this stays plan-metadata-sized.
+    #
+    # The map key is built by the SAME rule on both sides: Python
+    # str() for the collected value, Spark cast-to-string for the
+    # column — identical for string and integral sources, which the
+    # key therefore requires (a NULL source keys on a sentinel).
     src_type = df.schema[source_col].dataType.simpleString()
-    prefix = spark.createDataFrame(
-        prefix_rows, f"{source_col} {src_type}, _pid int, _base long"
-    )
-    # null-safe on the source key: a NULL source is its own window
-    # group in the original formulation and must stay one here
-    it, pfx = intra.alias("_in"), F.broadcast(prefix).alias("_pfx")
-    return (
-        it.join(
-            pfx,
-            F.col(f"_in.{source_col}").eqNullSafe(F.col(f"_pfx.{source_col}"))
-            & (F.col("_in._pid") == F.col("_pfx._pid")),
+    if src_type not in (
+        "string", "varchar", "int", "bigint", "smallint", "tinyint", "long"
+    ):
+        raise ValueError(
+            f"cap_token_budget: source_col must be a string or integral "
+            f"category column, got {src_type} (cast it first)"
         )
-        .filter(F.col("_pfx._base") + F.col("_in._cum_local") <= F.lit(budget))
-        .select(*[F.col(f"_in.{c}") for c in df.columns])
+    _null_sentinel = "<canal-null-source>"
+    flat: dict[str, int] = {}
+    for src, p, _t in totals:
+        k = (_null_sentinel if src is None else str(src)) + f"#{p}"
+        flat[k] = prefix_base[(src, p)]
+    bm = (
+        F.create_map(*[F.lit(x) for kv in flat.items() for x in kv])
+        if flat
+        else F.create_map()
+    )
+    key = F.concat_ws(
+        "#",
+        F.coalesce(F.col(source_col).cast("string"), F.lit(_null_sentinel)),
+        F.col("_pid").cast("string"),
+    )
+    return (
+        intra.withColumn("_base", bm[key])
+        .filter(F.col("_base") + F.col("_cum_local") <= F.lit(budget))
+        .select(*df.columns)
     )

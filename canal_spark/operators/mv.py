@@ -124,19 +124,33 @@ class MaterializedAggregate:
             return None
         g, v = self.group_col, self.value_col
 
-        changes = self.table.read_changes(
-            spark,
-            last if last is not None else 0,
-            now,
-            with_before=True,
-            source=self.feed_source,
+        # RAW capture fast path (r6): per-epoch capture rows compose
+        # under the additive +after/−before algebra without the net
+        # collapse's per-key shuffle of full-width payload structs —
+        # see SnapshotTable.read_changes_raw. TOUCH rows carry NULLs
+        # on both sides and are excluded by the op filters.
+        changes = (
+            self.table.read_changes_raw(
+                spark, last if last is not None else 0, now
+            )
+            if self.feed_source in ("auto", "captured")
+            else None
         )
-        gains = changes.filter(F.col("op") != "DELETE").select(
+        if changes is None:
+            changes = self.table.read_changes(
+                spark,
+                last if last is not None else 0,
+                now,
+                with_before=True,
+                source=self.feed_source,
+            )
+        gain_ops, retract_ops = ("INSERT", "UPDATE"), ("UPDATE", "DELETE")
+        gains = changes.filter(F.col("op").isin(*gain_ops)).select(
             F.col(g).alias(g),
             F.lit(1).cast("long").alias("cnt"),
             F.coalesce(F.col(v).cast("long"), F.lit(0)).alias("sum_value"),
         )
-        retracts = changes.filter(F.col("op") != "INSERT").select(
+        retracts = changes.filter(F.col("op").isin(*retract_ops)).select(
             F.col(f"before_{g}").alias(g),
             F.lit(-1).cast("long").alias("cnt"),
             (-F.coalesce(F.col(f"before_{v}").cast("long"), F.lit(0))).alias(

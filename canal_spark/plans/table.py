@@ -954,6 +954,63 @@ class SnapshotTable:
                 rels.append(c)
         return rels
 
+    def read_changes_raw(
+        self,
+        spark: SparkSession,
+        from_epoch: int,
+        to_epoch: int | None = None,
+    ) -> DataFrame | None:
+        """RAW write-time capture rows for the range (from, to] — one
+        row per (epoch, key), ops INSERT / UPDATE / DELETE / TOUCH,
+        with before-images — or None when any epoch in the range lacks
+        a capture record (callers fall back to `read_changes`).
+
+        Unlike `read_changes`, rows are NOT collapsed to net changes
+        across epochs, which removes the one shuffle the collapse
+        pays: a per-key max_by/min_by over FULL-WIDTH payload structs
+        (token arrays ride through the aggregation buffers). A
+        consumer running an ADDITIVE algebra — the incremental
+        aggregate's +after/−before (operators/mv.py) — composes
+        per-epoch deltas to the same result as the net feed, because
+        per-epoch captures are already net per key and the algebra
+        telescopes: (+A1) then (−A1 +A2) ≡ (+A2). TOUCH rows (capture-
+        internal tombstone-`_seq` advances) carry NULL payload AND
+        NULL before-image, so they contribute nothing to either side.
+
+        Consumers that need per-key net rows (outbox readers, row
+        replication) must keep using `read_changes`."""
+        snap_b = self.snapshot(to_epoch)
+        snap_a = self.snapshot(from_epoch)
+        if snap_a["epoch"] > snap_b["epoch"]:
+            raise ValueError(
+                f"read_changes_raw: from_epoch={snap_a['epoch']} > "
+                f"to_epoch={snap_b['epoch']}"
+            )
+        rels = self._captured_range(snap_a["epoch"], snap_b["epoch"])
+        if rels is None:
+            return None
+        key = snap_b["key_col"]
+        fields = snap_b["schemas"][str(snap_b["schema_ver"])]
+        types = {f["name"]: f["type"] for f in fields}
+        cols = [f["name"] for f in fields if f["name"] != key]
+        if not rels:
+            ddl = (
+                f"`{key}` {types[key]}, `op` string, "
+                + ", ".join(f"`{c}` {types[c]}" for c in cols)
+                + "".join(f", `before_{c}` {types[c]}" for c in cols)
+                + ", `_seq` long"
+            )
+            return spark.createDataFrame([], ddl)
+        df = spark.read.parquet(*[os.path.join(self.root, r) for r in rels])
+        for c in cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(types[c]))
+            if f"before_{c}" not in df.columns:
+                df = df.withColumn(f"before_{c}", F.lit(None).cast(types[c]))
+        return df.select(
+            key, "op", *cols, *[f"before_{c}" for c in cols], F.col("_seq")
+        )
+
     def _read_changes_captured(
         self, spark: SparkSession, rels: list[str], snap_b: dict, with_before: bool
     ) -> DataFrame:
@@ -1637,15 +1694,32 @@ class SnapshotTable:
         under a unique dir, exclusive snapshot publish, replan-on-race.
         Returns {bucket: rows_deleted}; empty dict = no matches, no
         epoch committed."""
+        # the predicate is scoped to the table's USER columns (ADVICE
+        # r5): merge metadata is renamed away while it is evaluated, so
+        # a predicate referencing `_seq`/`_tombstone`/`bucket` fails to
+        # resolve (explicit error) instead of silently deleting on
+        # internals — and a future user column named `bucket` cannot
+        # collide with the routing column here
+        _hidden = ("_seq", "_tombstone", "bucket")
+
+        def _marked(df: DataFrame) -> DataFrame:
+            ev = df
+            for c in _hidden:
+                ev = ev.withColumnRenamed(c, f"__dw_{c}")
+            m = F.coalesce(F.expr(predicate), F.lit(False)) & ~F.coalesce(
+                F.col("__dw__tombstone"), F.lit(False)
+            )
+            ev = ev.withColumn("__dw_match", m)
+            for c in _hidden:
+                ev = ev.withColumnRenamed(f"__dw_{c}", c)
+            return ev
+
         for _attempt in range(max_retries):
             snap = self.snapshot()
-            state = self.read(spark, epoch=snap["epoch"], internal=True)
-            match = F.coalesce(F.expr(predicate), F.lit(False)) & ~F.coalesce(
-                F.col("_tombstone"), F.lit(False)
-            )
+            state = _marked(self.read(spark, epoch=snap["epoch"], internal=True))
             hits = {
                 int(r["bucket"]): int(r["n"])
-                for r in state.filter(match)
+                for r in state.filter(F.col("__dw_match"))
                 .groupBy("bucket")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
@@ -1656,10 +1730,12 @@ class SnapshotTable:
             affected = sorted(hits)
             cols = [f["name"] for f in snap["schemas"][str(snap["schema_ver"])]]
             kept = (
-                self.read(
-                    spark, epoch=snap["epoch"], buckets=affected, internal=True
+                _marked(
+                    self.read(
+                        spark, epoch=snap["epoch"], buckets=affected, internal=True
+                    )
                 )
-                .filter(~match)
+                .filter(~F.col("__dw_match"))
                 .select(*cols, "_seq", "_tombstone", "bucket")
             )
             out_dir = os.path.join(

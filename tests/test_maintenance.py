@@ -397,6 +397,20 @@ def test_delete_where_matches_filtered_oracle(spark, changelog_dir, oracle_state
     assert eng.run_epoch() is None
 
 
+def test_delete_where_predicate_cannot_see_internals(spark, changelog_dir, tmp_path):
+    """ADVICE r5: the predicate is scoped to USER columns — referencing
+    merge metadata must raise (explicit resolution error), never
+    silently delete on `_seq`/`_tombstone`/`bucket`."""
+    import pytest
+
+    table, _eng = _replay_many_epochs(spark, changelog_dir, str(tmp_path / "dwi"))
+    before = table.current_epoch()
+    for pred in ("_seq > 0", "_tombstone", "bucket = 0"):
+        with pytest.raises(Exception, match="_seq|_tombstone|bucket|resolve|UNRESOLVED"):
+            table.delete_where(spark, pred)
+    assert table.current_epoch() == before  # nothing committed
+
+
 def test_delete_where_null_predicate_keeps_rows(spark, changelog_dir, oracle_state, tmp_path):
     """SQL DELETE semantics: only definite TRUE matches are deleted —
     a predicate evaluating to NULL keeps the row. n_tok IS NULL never

@@ -91,6 +91,34 @@ def test_mv_incremental_equals_recompute(spark, changelog_dir, tmp_path):
     assert _frames_equal(mv.read(spark), _full_recompute(spark, table))
 
 
+def test_mv_raw_captured_feed_multi_epoch_gap(spark, changelog_dir, tmp_path):
+    """r6 raw-capture fast path: a capture-fed MV refreshed LAZILY
+    (every third epoch, so read_changes_raw unions several epochs'
+    capture files, including cross-epoch insert→update→delete chains)
+    must equal both the per-epoch diff-fed MV and the from-scratch
+    aggregate — the additive algebra telescopes across epochs."""
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    mv_cap = MaterializedAggregate(
+        table, str(tmp_path / "mvc"), feed_source="captured"
+    )
+    mv_diff = MaterializedAggregate(
+        table, str(tmp_path / "mvd"), feed_source="diff"
+    )
+    eng = CdcEngine(
+        spark, changelog_dir, table, lsn_budget=400, capture_changes=True
+    )
+    epochs = 0
+    while eng.run_epoch() is not None:
+        epochs += 1
+        mv_diff.refresh(spark)
+        if epochs % 3 == 0:
+            mv_cap.refresh(spark)
+    mv_cap.refresh(spark)  # catch up the tail
+    assert epochs >= 3
+    assert _frames_equal(mv_cap.read(spark), mv_diff.read(spark))
+    assert _frames_equal(mv_cap.read(spark), _full_recompute(spark, table))
+
+
 def test_mv_handles_group_migration(spark, tmp_path):
     """An UPDATE that changes the group column must retract from the
     old group and add to the new one — the before-image is what makes
