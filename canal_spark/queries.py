@@ -799,7 +799,7 @@ def dedup_minhash_lsh(spark, sf):
     emitted pair's exact Jaccard >= 0.5, independently recomputed) and
     planted-pair recall pin the semantics without reproducing the hash
     family in SQL (pair-set coverage: tests/test_dedup_recall.py)."""
-    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    docs = _with_planted_dupes(load(spark, sf, "documents", spread=True))
     sh = DD.word_shingles(docs)
     sig = DD.minhash_signatures(sh, num_perm=16)
     pairs = DD.jaccard_verify(DD.lsh_candidate_pairs(sig, bands=4), sh, min_jaccard=0.5)
@@ -820,7 +820,7 @@ def dedup_simhash(spark, sf):
     pair list is canonical (id_a < id_b, no duplicates), and all 10
     planted near-dupes are found (tests/test_dedup_recall.py holds the
     pair-set coverage)."""
-    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    docs = _with_planted_dupes(load(spark, sf, "documents", spread=True))
     # three scalar branches below reference the pair set; materialize
     # its (tiny) result once instead of re-running the detector per
     # branch (same rationale as _pair_soundness)
@@ -901,7 +901,7 @@ def dedup_ngram_jaccard(spark, sf):
     replays the full pair set (df cap included) in DuckDB; the rounded
     jaccard column pins the capped-join + hot-gram-completion
     intersection arithmetic row by row."""
-    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    docs = _with_planted_dupes(load(spark, sf, "documents", spread=True))
     return DD.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.8).select(
         "id_a", "id_b", F.round("jaccard", 3).alias("jaccard")
     )
@@ -944,7 +944,7 @@ def dedup_cluster_assign(spark, sf):
     per component. The component stage is exact-Jaccard-defined (like
     refine_corpus' drop stage), so the oracle replays it as a
     recursive min-reachability CTE over the all-pairs graph."""
-    docs = _with_planted_dupes(load(spark, sf, "documents")).select("doc_id", "text")
+    docs = _with_planted_dupes(load(spark, sf, "documents", spread=True)).select("doc_id", "text")
     sh = DD.word_shingles(docs)
     sig = DD.minhash_signatures(sh, num_perm=16)
     pairs = DD.jaccard_verify(
@@ -1035,7 +1035,7 @@ def dedup_incremental(spark, sf):
     ids — the same unified rule the operator applies. Oracle/detector
     agreement rides on the verified 100% LSH recall at the 0.8
     threshold on this corpus (see refine_corpus)."""
-    docs = _with_planted_dupes(load(spark, sf, "documents")).select("doc_id", "text")
+    docs = _with_planted_dupes(load(spark, sf, "documents", spread=True)).select("doc_id", "text")
     dd = DD.IncrementalDeduper(min_jaccard=0.8, num_perm=16, bands=8)
     outs = []
     for t in range(3):
@@ -1053,7 +1053,7 @@ def _incremental_persistent_replay(spark, sf, compact: bool):
     import shutil
     import tempfile
 
-    docs = _with_planted_dupes(load(spark, sf, "documents")).select("doc_id", "text")
+    docs = _with_planted_dupes(load(spark, sf, "documents", spread=True)).select("doc_id", "text")
     d = tempfile.mkdtemp(prefix="incr_dedup_state_")
     try:
         outs = []
@@ -1119,7 +1119,7 @@ def _planted_recall(spark, pairs: DataFrame) -> DataFrame:
 def dedup_minhash_recall(spark, sf):
     """MinHash+LSH must FIND all 10 planted near-dupes (P2 quality as
     a driver-green check; mirrors tests/test_dedup_recall.py)."""
-    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    docs = _with_planted_dupes(load(spark, sf, "documents", spread=True))
     sh = DD.word_shingles(docs)
     sig = DD.minhash_signatures(sh, num_perm=16)
     pairs = DD.jaccard_verify(DD.lsh_candidate_pairs(sig, bands=4), sh, min_jaccard=0.5)
@@ -1129,7 +1129,7 @@ def dedup_minhash_recall(spark, sf):
 @q("dedup_simhash_recall", RECALL_ORACLE)
 def dedup_simhash_recall(spark, sf):
     """SimHash at radius 4 / 5 blocks finds all planted pairs (P3)."""
-    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    docs = _with_planted_dupes(load(spark, sf, "documents", spread=True))
     pairs = DD.simhash_near_pairs(DD.simhash(docs), max_hamming=4, blocks=5)
     return _planted_recall(spark, pairs)
 
@@ -1138,7 +1138,7 @@ def dedup_simhash_recall(spark, sf):
 def dedup_ngram_recall(spark, sf):
     """Word n-gram Jaccard (DF-capped candidate join) finds all planted
     pairs (P4)."""
-    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    docs = _with_planted_dupes(load(spark, sf, "documents", spread=True))
     pairs = DD.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.8)
     return _planted_recall(spark, pairs)
 
@@ -1153,7 +1153,7 @@ def ann_ivf_recall(spark, sf):
     quality): measured 0.70 (sf0.001) / 0.78 (sf0.01) against the 0.65
     floor — the isotropic synthetic embeddings cap recall near
     covered-mass (see tests/test_joins_similarity.py)."""
-    emb = load(spark, sf, "embeddings")
+    emb = load(spark, sf, "embeddings", spread=True)
     qs = emb.filter(F.col("vec_id") < 10)
     exact = SIM.brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
     approx = SIM.ivf_bucketed_topk(emb, qs, k=5, n_lists=8, nprobe=4).select(
@@ -1187,7 +1187,7 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
 
 @q("ann_cosine_topk", ANN_SQL)
 def ann_cosine_topk(spark, sf):
-    emb = load(spark, sf, "embeddings")
+    emb = load(spark, sf, "embeddings", spread=True)
     return SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
@@ -1208,7 +1208,7 @@ def ann_lsh_topk(spark, sf):
     not global ranking, is the LSH contract. The hyperplane family
     itself is not SQL-expressible; the invariant row is (full top-k
     output exercised in tests/test_joins_similarity.py)."""
-    emb = load(spark, sf, "embeddings")
+    emb = load(spark, sf, "embeddings", spread=True)
     qs = emb.filter(F.col("vec_id") < 10)
     planted = qs.withColumn("vec_id", F.col("vec_id") + 1_000_000)
     topk = SIM.lsh_bucketed_topk(emb.unionByName(planted), qs, k=5)
@@ -1233,7 +1233,7 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 3) >= 0.35
 @q("embedding_neardup_cosine", NEARDUP_SQL)
 def embedding_neardup_cosine(spark, sf):
     return SIM.neardup_pairs_by_cosine(
-        load(spark, sf, "embeddings"), threshold=0.35, max_id=60
+        load(spark, sf, "embeddings", spread=True), threshold=0.35, max_id=60
     )
 
 
@@ -1521,7 +1521,7 @@ def refine_corpus_stages(spark, sf):
     driver-side cost belongs to the near-dup stage and lands there."""
     from canal_spark.operators.pack import pack_sequences
 
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents", spread=True)
     keep_ids = docs.groupBy(F.md5("text").alias("fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
@@ -1573,7 +1573,7 @@ def winnowing_fingerprints_q(spark, sf):
     """Rolling-hash document fingerprints (MOSS winnowing): min gram
     hash per sliding window, distinct survivors. md5-hex ordering makes
     the fingerprint sets byte-identical to the SQL oracle."""
-    return TX.winnowing_fingerprints(load(spark, sf, "documents"), k=5, w=4)
+    return TX.winnowing_fingerprints(load(spark, sf, "documents", spread=True), k=5, w=4)
 
 
 @q(
@@ -1699,7 +1699,7 @@ def contamination_overlap(spark, sf):
     (the near-dup fixture: docs 100000-100004 embed benchmark texts;
     100005+ embed non-benchmark texts and must NOT flag). Benchmark
     grams broadcast; the corpus side never shuffles."""
-    docs = _with_planted_dupes(load(spark, sf, "documents"))
+    docs = _with_planted_dupes(load(spark, sf, "documents", spread=True))
     bench = docs.filter(F.col("doc_id") < 5)
     corpus = docs.filter(F.col("doc_id") >= 5)
     return TX.benchmark_contamination(corpus, bench, n=8)
@@ -2077,7 +2077,7 @@ def flatmessage_roundtrip(spark, sf):
     so the check proves encode -> parse -> explode is lossless."""
     from canal_spark.sources.flat_message import parse_flat_messages
 
-    ch = events_as_changelog(spark, sf).filter(
+    ch = events_as_changelog(spark, sf, spread=True).filter(
         F.col("op").isin("INSERT", "UPDATE", "DELETE")
     )
     flat = ch.select(
@@ -2306,7 +2306,7 @@ def ann_ivf_topk(spark, sf):
     separately oracle-checked by ann_ivf_recall (floor 0.65); the
     centroid-specific top-k SET itself is exercised row-level in
     tests/test_joins_similarity.py."""
-    emb = load(spark, sf, "embeddings")
+    emb = load(spark, sf, "embeddings", spread=True)
     qs = emb.filter(F.col("vec_id") < 10)
     planted = qs.withColumn("vec_id", F.col("vec_id") + 1_000_000)
     topk = SIM.ivf_bucketed_topk(

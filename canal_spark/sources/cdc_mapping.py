@@ -27,8 +27,11 @@ OP_SQL_CASE = (
 N_SOURCE_PARTITIONS = 8
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver table, spreading an under-split scan.
+def load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read one driver table; `spread=True` additionally spreads an
+    under-split scan.
 
     The testdata tables arrive as ONE small parquet file (one row
     group), so the scan plans as ONE task and every scan-side
@@ -36,8 +39,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per-character winnowing md5s, to_json/from_json round-trips —
     serializes on a single core while the other 31 idle (guide §2.5
     "input skew", §6 input split size: a single-row-group file is
-    unsplittable no matter the split config). One cheap round-robin
-    repartition right after the read restores scan parallelism.
+    unsplittable no matter the split config). With `spread=True`, one
+    cheap round-robin repartition right after the read restores scan
+    parallelism; queries whose per-row work dominates opt in, while
+    cheap projections/aggregations keep the exchange-free single-task
+    scan (the repartition costs a fixed ~0.1-0.3 s stage that a
+    sub-second query cannot amortize — measured both ways in
+    bench_out/, r6).
 
     Scale-adaptive, not local-tuned: the trigger is `scan splits <
     session default parallelism`, which a production-sized table
@@ -49,15 +57,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so results are stable; every declared query orders/aggregates with
     explicit keys, so row order never reaches an oracle."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    if spread:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
 
 
-def events_as_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_as_changelog(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """events -> (op, key, lsn, source_partition, ts, value, props)."""
-    return load(spark, sf_dir, "events").select(
+    return load(spark, sf_dir, "events", spread=spread).select(
         F.expr(OP_SQL_CASE).alias("op"),
         F.col("user_id").alias("key"),
         F.col("event_id").alias("lsn"),

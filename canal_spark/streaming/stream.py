@@ -281,15 +281,37 @@ class StreamingUpsert:
         # Partitioned by source stream (not coalesce(1)): a burst of
         # incomplete transactions writes in parallel, one task per
         # source partition (AQE merges the usual near-empty tail).
+        # The write runs on a background thread CONCURRENT with the
+        # merge job (r6, guide §2.6): both scan the same micro-batch
+        # input but write disjoint dirs, and each job's driver-serial
+        # windows back-fill the other's executors; the commit below
+        # joins the thread before it needs the file list.
+        import threading
+
         pending_dir = os.path.join(self.table.root, "pending", f"epoch={epoch}")
-        held.repartition(F.col("source_partition")).write.mode("overwrite").parquet(
-            pending_dir
-        )
-        pending_files = [
-            os.path.join(pending_dir, f)
-            for f in os.listdir(pending_dir)
-            if f.endswith(".parquet")
-        ]
+        pend_box: dict = {}
+
+        def _write_pending() -> None:
+            try:
+                held.repartition(F.col("source_partition")).write.mode(
+                    "overwrite"
+                ).parquet(pending_dir)
+            except Exception as ex:  # noqa: BLE001 - re-raised on join
+                pend_box["err"] = ex
+
+        pt = threading.Thread(target=_write_pending, daemon=True)
+        pt.start()
+
+        def pending_files() -> list[str]:
+            pt.join()
+            if "err" in pend_box:
+                raise pend_box["err"]
+            return [
+                os.path.join(pending_dir, f)
+                for f in os.listdir(pending_dir)
+                if f.endswith(".parquet")
+            ]
+
         if self.write_mode == "mor":
             from canal_spark.operators.merge import append_epoch
 
@@ -327,7 +349,7 @@ class StreamingUpsert:
             rewritten,
             wms,
             lineage,
-            pending=pending_files,
+            pending=pending_files(),
             # commit() MERGES meta: a sub-epoch records only its
             # stream_sub_batch_id and keeps the prior stream_batch_id,
             # so a crash before the final numbered epoch still replays
