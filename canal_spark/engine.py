@@ -218,6 +218,13 @@ class CdcEngine:
         `extents` overrides the true partition extents (the DDL bridge
         clamps a partition at the next pending DDL position so no event
         at or past the DDL is applied under the old schema)."""
+        # partial-mode barrier: the at-extent apply-the-remainder
+        # fallback is only sound against the TRUE extents — under a
+        # DDL clamp, the clamped partition's post-DDL events DO follow
+        # this slice, so the terminal fallback must stay off (a slice
+        # with no clean cut below the DDL then returns None and
+        # run_epoch raises, instead of corrupting per-column order)
+        terminal_extents = extents is None
         extents = self.extents if extents is None else extents
         bounds = plan_epoch(ckpts, extents, self.lsn_budget)
         if bounds is None:
@@ -239,7 +246,9 @@ class CdcEngine:
                 # epoch e outranks everything stored by earlier epochs;
                 # per-partition watermarks skew across epochs and break
                 # that (ADVICE r5) — clamp to a clean GLOBAL lsn cut
-                wms = self._partial_barrier_wms(sl, wms, floors, bounds, at_extent)
+                wms = self._partial_barrier_wms(
+                    sl, wms, floors, bounds, at_extent and terminal_extents
+                )
             progressed = any(wms[p] > floors[p] for p in bounds)
             if progressed or at_extent:
                 break

@@ -105,6 +105,83 @@ def test_partial_engine_watermark_skew_parity(spark, tmp_path):
     assert got["k"][2] == "srcB", got  # the skewed column write must land
 
 
+def test_partial_engine_with_inline_ddl_rename(spark, tmp_path):
+    """VERDICT r5 task 8: partial_updates x DDL. `updated_cols` names
+    CHANGELOG fields while a RENAME changes the table schema
+    mid-stream — align_to_schema's field-id map must route post-DDL
+    sparse writes to the renamed column, and the partial-mode global
+    barrier must hold across the DDL epoch (the clamped at-extent
+    slice must NOT take the apply-the-remainder fallback). Golden
+    DML -> DDL -> DML replay, per-column expected state by hand."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.sources.changelog import BASE_TS_US, SCHEMA
+
+    rows = [
+        # (op, doc_id, lsn, sp, tx_id, commit, tokens, n_tok, source, updated)
+        ("INSERT", "k", 1, 0, 100, True, [1], 1, "sA", ["tokens", "n_tok", "source"]),
+        ("INSERT", "k2", 2, 1, 200, True, [2], 1, "sX", ["tokens", "n_tok", "source"]),
+        ("UPDATE", "k", 4, 0, 101, True, None, None, "sB", ["source"]),
+        # ---- DDL RENAME source->origin at (lsn 5, partition 0) ----
+        ("UPDATE", "k", 8, 0, 102, True, [9], 1, None, ["tokens", "n_tok"]),
+        ("UPDATE", "k", 10, 1, 201, True, None, None, "sC", ["source"]),
+    ]
+    schema = SCHEMA.append(pa.field("updated_cols", pa.list_(pa.string())))
+    table = pa.Table.from_pydict(
+        {
+            "op": [r[0] for r in rows],
+            "doc_id": [r[1] for r in rows],
+            "lsn": pa.array([r[2] for r in rows], pa.int64()),
+            "source_partition": pa.array([r[3] for r in rows], pa.int32()),
+            "tx_id": pa.array([r[4] for r in rows], pa.int64()),
+            "tx_commit": [r[5] for r in rows],
+            "ts": pa.array([BASE_TS_US + i for i in range(len(rows))], pa.timestamp("us")),
+            "tokens": pa.array([r[6] for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([r[7] for r in rows], pa.int32()),
+            "source": [r[8] for r in rows],
+            "schema_ver": pa.array([1] * len(rows), pa.int32()),
+            "updated_cols": pa.array([r[9] for r in rows], pa.list_(pa.string())),
+        },
+        schema=schema,
+    )
+    log = str(tmp_path / "pddl_log")
+    os.makedirs(log, exist_ok=True)
+    pq.write_table(table, os.path.join(log, "part-p0000.parquet"))
+    ddl = str(tmp_path / "pddl_events")
+    os.makedirs(ddl, exist_ok=True)
+    ddl_tbl = pa.Table.from_pydict(
+        {
+            "lsn": pa.array([5], pa.int64()),
+            "source_partition": pa.array([0], pa.int32()),
+            "kind": ["RENAME_COLUMN"],
+            "payload": [_json.dumps({"from": "source", "to": "origin"})],
+        }
+    )
+    pq.write_table(ddl_tbl, os.path.join(ddl, "part-0.parquet"))
+
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    eng = CdcEngine(
+        spark, log, t, lsn_budget=3, partial_updates=True, ddl_events_path=ddl
+    )
+    eng.run_to_completion()
+    assert t.snapshot()["schema_ver"] == 2
+    got = {
+        r["doc_id"]: (
+            None if r["tokens"] is None else list(r["tokens"]),
+            r["n_tok"],
+            r["origin"],
+        )
+        for r in t.read(spark).select("doc_id", "tokens", "n_tok", "origin").collect()
+    }
+    # k: tokens from lsn8, source-chain sA->sB->sC lands in `origin`
+    # (lsn10's sparse write, named by the CHANGELOG field, post-rename)
+    assert got == {"k": ([9], 1, "sC"), "k2": ([2], 1, "sX")}, got
+
+
 def test_partial_engine_oracle_parity_and_rerun(spark, partial_log, tmp_path):
     """Multi-epoch partial replay == the oracle's per-column sequential
     replay, row-for-row including NULLs a sparse write left behind; a
